@@ -1,0 +1,270 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from trinerflet_tpu.ops.grid_sample import grid_sample_2d, sample_planes
+from trinerflet_tpu.ops.encoders import sh_encode, freq_encode, sh_dim, freq_dim
+from trinerflet_tpu.ops.activation import trunc_exp
+from trinerflet_tpu.ops.morton import morton3d, morton3d_invert, packbits
+from trinerflet_tpu.ops import raymarch as RM
+
+
+class TestGridSample:
+    def test_matches_torch_grid_sample(self):
+        """Golden test vs torch F.grid_sample(bilinear, border, align_corners=True)
+        — the exact call the reference makes (triplane_encoder.py:329)."""
+        rng = np.random.default_rng(0)
+        H, W, C, N = 17, 23, 5, 400
+        plane = rng.standard_normal((H, W, C)).astype(np.float32)
+        coords = (rng.random((N, 2)).astype(np.float32) * 2.4 - 1.2)  # includes out-of-range
+
+        ours = np.asarray(grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+
+        t_plane = torch.from_numpy(plane).permute(2, 0, 1)[None]  # 1,C,H,W
+        t_coords = torch.from_numpy(coords)[None, :, None, :]     # 1,N,1,2
+        t_out = F.grid_sample(t_plane, t_coords, mode="bilinear",
+                              padding_mode="border", align_corners=True)
+        t_out = t_out[0, :, :, 0].T.numpy()                       # N,C
+        np.testing.assert_allclose(ours, t_out, atol=1e-5)
+
+    def test_coordinate_gradient(self):
+        """d(sample)/d(coords) must exist and be finite (SR analytic normals
+        differentiate through the encoder; reference grid_backward.py)."""
+        plane = jnp.asarray(np.random.default_rng(1).standard_normal((8, 8, 2)), jnp.float32)
+        coords = jnp.asarray([[0.3, -0.2], [0.9, 0.9]], jnp.float32)
+        g = jax.grad(lambda c: grid_sample_2d(plane, c).sum())(coords)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_sample_planes_shapes(self):
+        planes = jnp.zeros((3, 16, 16, 4))
+        coords = jnp.zeros((3, 10, 2))
+        out = sample_planes(planes, coords)
+        assert out.shape == (10, 3, 4)
+
+
+class TestEncoders:
+    @pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 6, 7])
+    def test_sh_orthonormality(self, degree):
+        """Real SH must be orthonormal over the unit sphere: this catches any
+        wrong coefficient/normalization without fixing a sign convention."""
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((200000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        Y = np.asarray(sh_encode(jnp.asarray(v, jnp.float32), degree), np.float64)
+        G = (Y.T @ Y) / len(v) * (4 * np.pi)  # Monte-Carlo Gram matrix
+        np.testing.assert_allclose(G, np.eye(sh_dim(degree)), atol=0.12)
+
+    def test_sh_degree4_values(self):
+        """Spot-check the degree-4 basis at canonical directions."""
+        z = jnp.asarray([[0.0, 0.0, 1.0]])
+        Y = np.asarray(sh_encode(z, 4))[0]
+        assert abs(Y[0] - 0.28209479) < 1e-6
+        assert abs(Y[2] - 0.48860251) < 1e-6  # the z component of l=1
+        assert abs(Y[1]) < 1e-6 and abs(Y[3]) < 1e-6
+
+    def test_freq_encode(self):
+        x = jnp.asarray([[0.5, -0.25, 1.0]])
+        out = np.asarray(freq_encode(x, degree=2))
+        assert out.shape[-1] == freq_dim(3, 2)
+        np.testing.assert_allclose(out[0, :3], [0.5, -0.25, 1.0], atol=1e-6)
+        np.testing.assert_allclose(out[0, 3], np.sin(0.5), atol=1e-6)
+        np.testing.assert_allclose(out[0, 9], np.sin(1.0), atol=1e-6)  # 2^1*x: sin(2*0.5)
+
+
+class TestTruncExp:
+    def test_forward_is_exp(self):
+        x = jnp.asarray([-2.0, 0.0, 3.0])
+        np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp([-2, 0, 3]), rtol=1e-5)
+
+    def test_gradient_clamped(self):
+        g = jax.grad(lambda x: trunc_exp(x).sum())(jnp.asarray([20.0, -20.0, 1.0]))
+        g = np.asarray(g)
+        np.testing.assert_allclose(g[0], np.exp(15.0), rtol=1e-5)  # clamped at 15
+        np.testing.assert_allclose(g[1], np.exp(-15.0), rtol=1e-5)
+        np.testing.assert_allclose(g[2], np.exp(1.0), rtol=1e-5)
+
+
+class TestMorton:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        coords = rng.integers(0, 128, (1000, 3)).astype(np.int32)
+        codes = morton3d(jnp.asarray(coords))
+        back = np.asarray(morton3d_invert(codes))
+        np.testing.assert_array_equal(back, coords)
+
+    def test_known_codes(self):
+        assert int(morton3d(jnp.asarray([[1, 0, 0]], jnp.int32))[0]) == 1
+        assert int(morton3d(jnp.asarray([[0, 1, 0]], jnp.int32))[0]) == 2
+        assert int(morton3d(jnp.asarray([[0, 0, 1]], jnp.int32))[0]) == 4
+        assert int(morton3d(jnp.asarray([[7, 7, 7]], jnp.int32))[0]) == 511
+
+    def test_packbits(self):
+        grid = jnp.asarray([0.5, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.5], jnp.float32)
+        bits = np.asarray(packbits(grid, 0.1))
+        assert bits.shape == (1,)
+        assert bits[0] == 0b10000101
+
+
+class TestNearFar:
+    def test_unit_cube(self):
+        o = jnp.asarray([[0.0, 0.0, -3.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+        near, far = RM.near_far_from_aabb(o, d, aabb, min_near=0.2)
+        np.testing.assert_allclose(float(near[0]), 2.0, atol=1e-5)
+        np.testing.assert_allclose(float(far[0]), 4.0, atol=1e-5)
+
+    def test_miss(self):
+        o = jnp.asarray([[0.0, 5.0, -3.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+        near, far = RM.near_far_from_aabb(o, d, aabb)
+        assert float(near[0]) > 1e30 and float(far[0]) > 1e30
+
+    def test_min_near_clamp(self):
+        o = jnp.asarray([[0.0, 0.0, 0.0]])  # inside the box
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+        near, _ = RM.near_far_from_aabb(o, d, aabb, min_near=0.2)
+        np.testing.assert_allclose(float(near[0]), 0.2, atol=1e-6)
+
+
+class TestMarchAndComposite:
+    def _setup(self, occ_fill=True):
+        N = 8
+        rng = np.random.default_rng(0)
+        o = np.zeros((N, 3), np.float32)
+        o[:, 2] = -2.0
+        d = np.zeros((N, 3), np.float32)
+        d[:, 2] = 1.0
+        aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+        near, far = RM.near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+        occ = jnp.full((1, 32, 32, 32), occ_fill, bool)
+        return o, d, near, far, occ
+
+    def test_march_all_occupied(self):
+        o, d, near, far, occ = self._setup()
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ,
+            jnp.zeros(len(o)), num_steps=192, max_steps=128, grid_size=32,
+            cascades=1, bound=1.0, dt_gamma=0.0)
+        v = np.asarray(res.valid)
+        # ray crosses [-1, 1] in z: length 2, dt = 2*sqrt3/128 => ~73 steps
+        expect = int(np.ceil(2.0 / (2 * RM.SQRT3 / 128)))
+        assert abs(v.sum(1)[0] - expect) <= 1
+
+    def test_march_empty_grid(self):
+        o, d, near, far, occ = self._setup(occ_fill=False)
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ,
+            jnp.zeros(len(o)), num_steps=192, max_steps=128, grid_size=32,
+            cascades=1, bound=1.0, dt_gamma=0.0)
+        assert np.asarray(res.valid).sum() == 0
+
+    def test_compact_and_composite_matches_dense(self):
+        """The compacted segment compositing must agree with the dense
+        cumprod reference on identical samples."""
+        o, d, near, far, occ = self._setup()
+        # random occupancy to create gaps
+        rng = np.random.default_rng(3)
+        occ = jnp.asarray(rng.random((1, 32, 32, 32)) > 0.4)
+        N = len(o)
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ,
+            jnp.zeros(N), num_steps=192, max_steps=128, grid_size=32,
+            cascades=1, bound=1.0, dt_gamma=0.0)
+        comp = RM.compact_samples(jnp.asarray(o), jnp.asarray(d), res,
+                                  m_budget=1024, bound=1.0)
+        M = comp.xyzs.shape[0]
+        sig_np = rng.random(M).astype(np.float32) * 3.0
+        rgb_np = rng.random((M, 3)).astype(np.float32)
+        sig, rgb = jnp.asarray(sig_np), jnp.asarray(rgb_np)
+        ws, depth, img = RM.composite_compact(sig, rgb, comp, N, T_thresh=0.0)
+
+        # dense reference: scatter compacted samples back per ray
+        ws_ref = np.zeros(N)
+        img_ref = np.zeros((N, 3))
+        dep_ref = np.zeros(N)
+        rid = np.asarray(comp.ray_id)
+        for n in range(N):
+            idx = np.nonzero(rid == n)[0]
+            T = 1.0
+            for i in idx:
+                a = 1 - np.exp(-sig_np[i] * float(comp.dts[i]))
+                w = a * T
+                ws_ref[n] += w
+                img_ref[n] += w * rgb_np[i]
+                dep_ref[n] += w * float(comp.ts[i])
+                T *= 1 - a
+        np.testing.assert_allclose(np.asarray(ws), ws_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(img), img_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(depth), dep_ref, atol=1e-4)
+
+    def test_early_termination_masks_tail(self):
+        """Samples after transmittance collapse must get zero weight."""
+        o, d, near, far, occ = self._setup()
+        N = len(o)
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ,
+            jnp.zeros(N), num_steps=128, max_steps=128, grid_size=32,
+            cascades=1, bound=1.0, dt_gamma=0.0)
+        comp = RM.compact_samples(jnp.asarray(o), jnp.asarray(d), res,
+                                  m_budget=1024, bound=1.0)
+        sig = jnp.full((1024,), 1e4, jnp.float32)  # opaque everywhere
+        rgb = jnp.ones((1024, 3), jnp.float32)
+        ws, _, img = RM.composite_compact(sig, rgb, comp, N, T_thresh=1e-4)
+        np.testing.assert_allclose(np.asarray(ws), 1.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(img), 1.0, atol=1e-3)
+
+    def test_composite_gradients_finite(self):
+        o, d, near, far, occ = self._setup()
+        N = len(o)
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ,
+            jnp.zeros(N), num_steps=64, max_steps=64, grid_size=32,
+            cascades=1, bound=1.0, dt_gamma=0.0)
+        comp = RM.compact_samples(jnp.asarray(o), jnp.asarray(d), res,
+                                  m_budget=512, bound=1.0)
+
+        def loss(sig):
+            ws, dep, img = RM.composite_compact(sig, jnp.ones((512, 3)), comp, N)
+            return img.sum() + ws.sum()
+
+        g = jax.grad(loss)(jnp.full((512,), 0.5, jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_dense_composite_white_box(self):
+        """Constant density sigma: weights_sum = 1 - exp(-sigma * span)."""
+        N, T = 4, 64
+        sig = jnp.full((N, T), 2.0)
+        rgb = jnp.ones((N, T, 3)) * 0.5
+        deltas = jnp.full((N, T), 1.0 / T)
+        ts = jnp.broadcast_to(jnp.linspace(0, 1, T), (N, T))
+        ws, dep, img = RM.composite_dense(sig, rgb, deltas, ts)
+        np.testing.assert_allclose(np.asarray(ws), 1 - np.exp(-2.0), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(img), 0.5 * (1 - np.exp(-2.0)), atol=1e-3)
+
+
+class TestSamplePdf:
+    def test_uniform_weights_give_uniform_samples(self):
+        B, T, S = 2, 16, 64
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+        w = jnp.ones((B, T - 1))
+        u = jnp.broadcast_to(jnp.linspace(0.5 / S, 1 - 0.5 / S, S), (B, S))
+        out = np.asarray(RM.sample_pdf(bins, w, S, u))
+        assert (np.diff(out, axis=-1) > 0).all()
+        np.testing.assert_allclose(out.mean(), 0.5, atol=0.02)
+
+    def test_concentrated_weights(self):
+        B, T, S = 1, 16, 128
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+        w = np.full((B, T - 1), 1e-4, np.float32)
+        w[0, 7] = 1.0  # all mass in one bin
+        u = jnp.broadcast_to(jnp.linspace(0.5 / S, 1 - 0.5 / S, S), (B, S))
+        out = np.asarray(RM.sample_pdf(bins, jnp.asarray(w), S, u))
+        lo, hi = bins[0, 7], bins[0, 8]
+        assert ((out > lo - 0.02) & (out < hi + 0.02)).mean() > 0.95

@@ -1,0 +1,343 @@
+"""Occupancy-grid ray marching and volume compositing, TPU-style.
+
+This is the TPU-native redesign of the reference CUDA extension
+``aux_libs/raymarching`` (kernels: ``kernel_near_far_from_aabb``
+raymarching.cu:92, ``kernel_march_rays_train`` :312, ``kernel_composite_rays_
+train_forward/backward`` :501/:602, ``kernel_march_rays``/``kernel_composite_
+rays`` :701/:819).
+
+Architecture — CUDA vs TPU
+--------------------------
+The CUDA version gives each ray a thread that walks the occupancy bitfield
+with a data-dependent while loop, skips empty space analytically, and compacts
+surviving samples with an ``atomicAdd`` bump allocator. None of that maps to a
+vector machine with static shapes. Instead we:
+
+1. enumerate a *static* grid of candidate samples per ray (``Kc`` steps of
+   ``dt`` starting at the perturbed near plane — the same positions the CUDA
+   marcher can ever visit when ``dt_gamma == 0``; a cheap ``lax.scan`` builds
+   the growing-``dt`` ladder otherwise),
+2. test occupancy for every candidate with one big vectorized gather (this is
+   the part the CUDA kernel does serially; here it is bandwidth-bound and
+   fully parallel),
+3. compact the valid candidates into a fixed-size ``[M]`` point buffer with a
+   global ``cumsum`` + scatter — the deterministic XLA equivalent of the
+   atomic bump allocator — so the expensive field MLP runs only on occupied
+   samples,
+4. composite in compact space with segmented prefix sums: transmittance is
+   ``exp(-segmented_cumsum(sigma*dt))``, early termination is a mask on
+   ``T < T_thresh``. JAX autodiff of this forward reproduces the reference's
+   hand-written analytic backward (raymarching.cu:643-681).
+
+Everything is static-shaped, differentiable, and shardable over the ray axis.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "near_far_from_aabb",
+    "sph_from_ray",
+    "march_candidates",
+    "compact_samples",
+    "composite_compact",
+    "composite_dense",
+    "sample_pdf",
+    "MarchResults",
+    "CompactSamples",
+]
+
+SQRT3 = 1.7320508075688772
+
+
+# ---------------------------------------------------------------------------
+# Ray <-> scene intersections
+# ---------------------------------------------------------------------------
+
+def near_far_from_aabb(
+    rays_o: jnp.ndarray, rays_d: jnp.ndarray, aabb: jnp.ndarray, min_near: float = 0.2
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab test of rays against an axis-aligned box.
+
+    rays_o/rays_d: (N, 3); aabb: (6,) = (xmin, ymin, zmin, xmax, ymax, zmax).
+    Returns (nears, fars), each (N,). Missing rays get near == far == a huge
+    value, matching the CUDA kernel (raymarching.cu:122).
+    """
+    eps = 1e-15
+    rd = rays_d + jnp.where(jnp.abs(rays_d) < eps, eps, 0.0)
+    inv_d = 1.0 / rd
+    t0 = (aabb[:3] - rays_o) * inv_d  # (N, 3)
+    t1 = (aabb[3:] - rays_o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    miss = tmin > tmax
+    near = jnp.maximum(tmin, min_near)
+    big = jnp.asarray(3.4e38, rays_o.dtype)
+    near = jnp.where(miss, big, near)
+    far = jnp.where(miss, big, tmax)
+    return near, far
+
+
+def sph_from_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Intersect rays with a background sphere, return (theta, phi) normalized
+    to [-1, 1] (kernel_sph_from_ray, raymarching.cu:163-198; y is up)."""
+    a = (rays_d * rays_d).sum(-1)
+    b = (rays_o * rays_d).sum(-1)
+    c = (rays_o * rays_o).sum(-1) - radius * radius
+    t = (-b + jnp.sqrt(jnp.maximum(b * b - a * c, 0.0))) / a
+    p = rays_o + t[:, None] * rays_d
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), y)  # [0, pi)
+    phi = jnp.arctan2(z, x)  # [-pi, pi)
+    return jnp.stack([2 * theta / math.pi - 1, phi / math.pi], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Candidate marching
+# ---------------------------------------------------------------------------
+
+class MarchResults(NamedTuple):
+    ts: jnp.ndarray      # (N, Kc) sample start distance along ray
+    dts: jnp.ndarray     # (N, Kc) step size at each sample
+    valid: jnp.ndarray   # (N, Kc) bool: occupied & in [near, far) & under cap
+
+
+def _mip_level(pts: jnp.ndarray, dt: jnp.ndarray, grid_size: int, cascades: int) -> jnp.ndarray:
+    """max(mip_from_pos, mip_from_dt) per candidate (raymarching.cu:43-55):
+    frexp exponent of max|coord| and of dt*H/2, clamped to [0, C-1]."""
+    mx = jnp.max(jnp.abs(pts), axis=-1)
+    _, e_pos = jnp.frexp(jnp.maximum(mx, 1e-30))
+    _, e_dt = jnp.frexp(jnp.maximum(dt * grid_size * 0.5, 1e-30))
+    lvl = jnp.maximum(e_pos, e_dt)
+    return jnp.clip(lvl, 0, cascades - 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "max_steps", "grid_size", "cascades", "bound", "dt_gamma"))
+def march_candidates(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    occ_grid: jnp.ndarray,          # (cascades, H, H, H) bool
+    noise: jnp.ndarray,             # (N,) in [0, 1); zeros disables perturb
+    *,
+    num_steps: int,                 # Kc: number of candidate samples per ray
+    max_steps: int,                 # cap on *occupied* samples per ray (and dt_min divisor)
+    grid_size: int = 128,
+    cascades: int = 1,
+    bound: float = 1.0,
+    dt_gamma: float = 0.0,
+) -> MarchResults:
+    """Enumerate candidate samples along rays and occupancy-test them all.
+
+    Matches kernel_march_rays_train's sampling law (raymarching.cu:345-399):
+    ``dt = clamp(t * dt_gamma, 2*sqrt3/max_steps, 2*sqrt3*2^(C-1)/H)``, start
+    at ``near + dt(near)*noise``. Instead of skipping empty voxels serially,
+    every candidate position is tested in parallel and invalid ones are masked.
+    """
+    N = rays_o.shape[0]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascades - 1)) / grid_size
+
+    def step_size(t):
+        return jnp.clip(t * dt_gamma, dt_min, dt_max)
+
+    t0 = nears + step_size(nears) * noise
+    if dt_gamma == 0.0:
+        k = jnp.arange(num_steps, dtype=rays_o.dtype)
+        ts = t0[:, None] + dt_min * k[None, :]
+        dts = jnp.full_like(ts, dt_min)
+    else:
+        def ladder(t, _):
+            dt = step_size(t)
+            return t + dt, (t, dt)
+        _, (ts_t, dts_t) = jax.lax.scan(ladder, t0, None, length=num_steps)
+        ts = jnp.transpose(ts_t)   # (N, Kc)
+        dts = jnp.transpose(dts_t)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    pts = jnp.clip(pts, -bound, bound)
+
+    lvl = _mip_level(pts, dts, grid_size, cascades)
+    mip_bound = jnp.minimum(jnp.exp2(lvl.astype(pts.dtype)), bound)
+    # voxel coords in [0, H)
+    q = 0.5 * (pts / mip_bound[..., None] + 1.0) * grid_size
+    q = jnp.clip(q, 0.0, grid_size - 1).astype(jnp.int32)
+    flat = ((lvl * grid_size + q[..., 0]) * grid_size + q[..., 1]) * grid_size + q[..., 2]
+    occ = jnp.take(occ_grid.reshape(-1), flat.reshape(-1), axis=0).reshape(N, -1)
+
+    in_range = ts < fars[:, None]
+    valid = occ.astype(bool) & in_range
+    if num_steps > max_steps:
+        before = jnp.cumsum(valid.astype(jnp.int32), axis=1) - valid.astype(jnp.int32)
+        valid = valid & (before < max_steps)
+    return MarchResults(ts=ts, dts=dts, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Compaction (static-shape equivalent of the CUDA atomic bump allocator)
+# ---------------------------------------------------------------------------
+
+class CompactSamples(NamedTuple):
+    xyzs: jnp.ndarray     # (M, 3) sample positions (clamped to bound)
+    dirs: jnp.ndarray     # (M, 3)
+    ts: jnp.ndarray       # (M,) distance from perturbed ray start (t + dt - t0)
+    dts: jnp.ndarray      # (M,) step size (0 on padding slots)
+    ray_id: jnp.ndarray   # (M,) int32, N on padding slots
+    offsets: jnp.ndarray  # (N,) int32 start of each ray's segment in [0, M]
+    counts: jnp.ndarray   # (N,) int32 kept samples per ray
+    num_valid: jnp.ndarray  # () int32 total kept samples (<= M)
+
+
+def compact_samples(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    march: MarchResults,
+    *,
+    m_budget: int,
+    bound: float,
+) -> CompactSamples:
+    """Pack valid candidates into fixed-size buffers, ray-major order.
+
+    Deterministic alternative to the CUDA ``atomicAdd`` compaction
+    (raymarching.cu:405-416); overflow beyond ``m_budget`` drops the tail
+    (the reference drops whole rays at random when its buffer estimate is
+    exceeded, raymarching.py:198-232).
+    """
+    N, Kc = march.valid.shape
+    valid_f = march.valid.reshape(-1).astype(jnp.int32)
+    pos_inc = jnp.cumsum(valid_f)
+    pos = pos_inc - valid_f                      # exclusive cumsum = slot index
+    keep = march.valid.reshape(-1) & (pos < m_budget)
+    slot = jnp.where(keep, pos, m_budget)        # out-of-range -> dropped
+
+    counts_full = march.valid.astype(jnp.int32).sum(axis=1)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_full)[:-1].astype(jnp.int32)])
+    offsets = jnp.minimum(offsets, m_budget)
+    counts = jnp.minimum(counts_full, jnp.maximum(m_budget - offsets, 0))
+
+    t0 = march.ts[:, 0:1]
+    ts_rel = (march.ts + march.dts) - t0         # cumulative "real delta" for depth
+    ray_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, Kc))
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * march.ts[..., None]
+    pts = jnp.clip(pts, -bound, bound)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, Kc, 3))
+
+    def scatter(vals, fill, extra_dim=None):
+        shape = (m_budget,) if extra_dim is None else (m_budget, extra_dim)
+        out = jnp.full(shape, fill, vals.dtype)
+        flatv = vals.reshape((-1,) + (() if extra_dim is None else (extra_dim,)))
+        return out.at[slot].set(flatv, mode="drop")
+
+    return CompactSamples(
+        xyzs=scatter(pts, 0.0, 3),
+        dirs=scatter(dirs, 0.0, 3),
+        ts=scatter(ts_rel, 0.0),
+        dts=scatter(jnp.where(march.valid, march.dts, 0.0), 0.0),
+        ray_id=scatter(ray_ids, jnp.int32(2**30)),  # sentinel >= any ray count
+        offsets=offsets,
+        counts=counts,
+        num_valid=jnp.minimum(pos_inc[-1], m_budget),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compositing
+# ---------------------------------------------------------------------------
+
+def composite_compact(
+    sigmas: jnp.ndarray,     # (M,)
+    rgbs: jnp.ndarray,       # (M, 3)
+    samples: CompactSamples,
+    num_rays: int,
+    T_thresh: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alpha-composite compacted samples back into per-ray outputs.
+
+    Forward math identical to kernel_composite_rays_train_forward
+    (raymarching.cu:534-567): w_i = alpha_i * T_i with sequential early exit at
+    T < T_thresh; implemented with segmented prefix sums so XLA autodiff yields
+    the reference's analytic backward.
+
+    Returns (weights_sum (N,), depth (N,), image (N, 3)).
+    """
+    M = sigmas.shape[0]
+    sd = (sigmas * samples.dts).astype(jnp.float32)
+    c = jnp.cumsum(sd)
+    ce = c - sd  # exclusive cumsum
+    rid = jnp.minimum(samples.ray_id, num_rays)  # padding -> segment num_rays
+    base = jnp.take(ce, jnp.clip(samples.offsets, 0, M - 1), axis=0)
+    base = jnp.where(samples.counts > 0, base, 0.0)
+    seg_excl = ce - jnp.take(jnp.concatenate([base, jnp.zeros((1,), base.dtype)]), rid)
+    T_before = jnp.exp(-seg_excl)
+    alive = T_before >= T_thresh
+    alpha = 1.0 - jnp.exp(-sd)
+    w = jnp.where(alive & (samples.ray_id < num_rays), alpha * T_before, 0.0)
+
+    seg = partial(
+        jax.ops.segment_sum,
+        segment_ids=rid,
+        num_segments=num_rays + 1,
+        indices_are_sorted=True,
+    )
+    weights_sum = seg(w)[:num_rays]
+    depth = seg(w * samples.ts)[:num_rays]
+    image = seg(w[:, None] * rgbs)[:num_rays]
+    return weights_sum, depth, image
+
+
+def composite_dense(
+    sigmas: jnp.ndarray,   # (N, T)
+    rgbs: jnp.ndarray,     # (N, T, 3)
+    deltas: jnp.ndarray,   # (N, T)
+    ts: jnp.ndarray,       # (N, T) depth coordinate to accumulate
+    mask: Optional[jnp.ndarray] = None,  # (N, T) bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense [N, T] exclusive-cumprod compositing (the reference's pure-tensor
+    path, renderer.py:206-230). Returns (weights_sum, depth, image)."""
+    sd = sigmas * deltas
+    if mask is not None:
+        sd = jnp.where(mask, sd, 0.0)
+    alphas = 1.0 - jnp.exp(-sd)
+    # T_i = prod_{j<i} (1 - alpha_j + 1e-15)
+    trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alphas * trans
+    weights_sum = weights.sum(-1)
+    depth = (weights * ts).sum(-1)
+    image = (weights[..., None] * rgbs).sum(-2)
+    return weights_sum, depth, image
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling (reference renderer.py:12-46)
+# ---------------------------------------------------------------------------
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int, u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF sampling of new depths from bin weights.
+
+    bins: (B, T); weights: (B, T-1); u: (B, n_samples) uniforms in [0, 1)
+    (pass a deterministic linspace for det mode). Returns (B, n_samples).
+    """
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (B, T)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_g0) / denom
+    return bins_g0 + t * (bins_g1 - bins_g0)

@@ -1,0 +1,321 @@
+"""Volume renderer: pure-tensor path + occupancy-grid accelerated path.
+
+TPU-native re-design of the reference ``NeRFRenderer``
+(reconstruction/nerf/renderer.py:61-577):
+
+* ``render_dense``   <-> reference ``run``   (renderer.py:126-254): uniform z
+  sampling, optional importance upsampling, cumprod compositing. Fully dense
+  [N, T] math — the correctness anchor.
+* ``render_occgrid`` <-> reference ``run_cuda`` (renderer.py:257-381): cascaded
+  occupancy grid, candidate marching + compaction (see ops/raymarch.py), field
+  evaluated only on occupied samples, segmented compositing. One code path for
+  train and eval (the CUDA version's alive-ray while loop is subsumed by the
+  static candidate enumeration + transmittance masking).
+* ``OccupancyState`` + ``update_density_grid`` <-> density grid machinery
+  (renderer.py:89-102, 448-540) incl. the EMA-max update, stochastic partial
+  updates, and ``mark_untrained_grid`` camera-frustum culling (:383-446).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import raymarch as RM
+
+__all__ = [
+    "RenderConfig",
+    "OccupancyState",
+    "init_occupancy",
+    "update_density_grid",
+    "mark_untrained_grid",
+    "render_dense",
+    "render_occgrid",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    bound: float = 1.0
+    grid_size: int = 128
+    density_thresh: float = 10.0
+    min_near: float = 0.2
+    max_steps: int = 1024          # cap on occupied samples/ray (occgrid path)
+    num_steps: int = 512           # dense path: uniform samples/ray
+    upsample_steps: int = 0        # dense path: importance samples/ray
+    dt_gamma: float = 0.0
+    t_thresh: float = 1e-4
+    density_scale: float = 1.0
+    bg_radius: float = -1.0
+    # occgrid static shape budgets
+    samples_per_ray_budget: int = 24   # M = num_rays * this (compaction buffer)
+    candidates_override: int = 0       # 0 -> ceil(bound * max_steps)
+
+    @property
+    def cascades(self) -> int:
+        return 1 + max(0, math.ceil(math.log2(self.bound)))
+
+    @property
+    def num_candidates(self) -> int:
+        if self.candidates_override > 0:
+            return self.candidates_override
+        return int(math.ceil(self.bound * self.max_steps))
+
+    @property
+    def aabb(self) -> Tuple[float, ...]:
+        b = self.bound
+        return (-b, -b, -b, b, b, b)
+
+
+class OccupancyState(NamedTuple):
+    density_grid: jnp.ndarray   # (CAS, H^3) float32; -1 marks untrained cells
+    occ: jnp.ndarray            # (CAS, H, H, H) bool
+    mean_density: jnp.ndarray   # () float32
+    iter_density: jnp.ndarray   # () int32
+
+
+def init_occupancy(cfg: RenderConfig) -> OccupancyState:
+    H, C = cfg.grid_size, cfg.cascades
+    return OccupancyState(
+        density_grid=jnp.zeros((C, H**3), jnp.float32),
+        occ=jnp.zeros((C, H, H, H), bool),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def _grid_coords(H: int) -> np.ndarray:
+    """All (x, y, z) cell coords, row-major x*H^2 + y*H + z order."""
+    r = np.arange(H, dtype=np.int32)
+    x, y, z = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([x.ravel(), y.ravel(), z.ravel()], axis=-1)
+
+
+def mark_untrained_grid(
+    poses: np.ndarray, intrinsics, cfg: RenderConfig
+) -> np.ndarray:
+    """Cells never seen by any training camera get density -1 forever
+    (reference renderer.py:383-446). Host-side, runs once. Returns the initial
+    (CAS, H^3) density grid (0 where covered, -1 elsewhere)."""
+    H, C = cfg.grid_size, cfg.cascades
+    fx, fy, cx, cy = intrinsics
+    coords = _grid_coords(H).astype(np.float32)
+    world = 2 * coords / (H - 1) - 1  # (H^3, 3) in [-1, 1]
+    grid = np.zeros((C, H**3), np.float32)
+    for cas in range(C):
+        bound = min(2**cas, cfg.bound)
+        half = bound / H
+        pts = world * (bound - half)  # (H^3, 3)
+        covered = np.zeros(H**3, bool)
+        for b in range(0, len(poses), 16):
+            P = poses[b : b + 16]
+            cam = pts[None] - P[:, None, :3, 3]  # (B, H^3, 3)
+            cam = np.einsum("bnc,bcd->bnd", cam, P[:, :3, :3])
+            mz = cam[..., 2] > 0
+            mx = np.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+            my = np.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+            covered |= (mz & mx & my).any(axis=0)
+        grid[cas, ~covered] = -1.0
+    return grid
+
+
+def update_density_grid(
+    state: OccupancyState,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    rng: jax.Array,
+    cfg: RenderConfig,
+    decay: float = 0.95,
+) -> OccupancyState:
+    """Refresh the density grid (reference update_extra_state,
+    renderer.py:448-540): query the field at jittered cell centers, EMA-max
+    merge, threshold at min(mean_density, density_thresh) into the occupancy
+    bits.
+
+    TPU note: for the first 16 refreshes the reference does a full sweep and a
+    stochastic half-update afterwards; a full sweep here is a single batched
+    field evaluation (CAS * H^3 points), which the TPU eats happily, so we
+    always do the full sweep — strictly more accurate, same asymptotic cost
+    as the hot training step.
+    """
+    H, C = cfg.grid_size, cfg.cascades
+    coords = jnp.asarray(_grid_coords(H), jnp.float32)  # (H^3, 3)
+    world = 2 * coords / (H - 1) - 1
+    tmp = []
+    keys = jax.random.split(rng, C)
+    for cas in range(C):
+        bound = min(2**cas, cfg.bound)
+        half = bound / H
+        pts = world * (bound - half)
+        pts = pts + jax.random.uniform(keys[cas], pts.shape, pts.dtype, -half, half)
+        sigmas = density_fn(pts) * cfg.density_scale  # (H^3,)
+        tmp.append(sigmas)
+    tmp_grid = jnp.stack(tmp)  # (C, H^3)
+
+    valid = state.density_grid >= 0
+    new_grid = jnp.where(
+        valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
+    )
+    mean_density = jnp.mean(jnp.clip(new_grid, a_min=0))
+    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    occ = (new_grid > thresh).reshape(C, H, H, H)
+    return OccupancyState(
+        density_grid=new_grid,
+        occ=occ,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Background
+# ---------------------------------------------------------------------------
+
+def _background(rays_o, rays_d, bg_color, bg_fn, cfg: RenderConfig):
+    if cfg.bg_radius > 0 and bg_fn is not None:
+        sph = RM.sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        return bg_fn(sph, rays_d)
+    if bg_color is None:
+        return jnp.ones((rays_o.shape[0], 3), jnp.float32)
+    if jnp.ndim(bg_color) == 0:
+        return jnp.broadcast_to(bg_color, (rays_o.shape[0], 3)).astype(jnp.float32)
+    return bg_color
+
+
+# ---------------------------------------------------------------------------
+# Dense (pure-tensor) path — reference renderer.run
+# ---------------------------------------------------------------------------
+
+def render_dense(
+    density_fn: Callable,   # pts (M, 3) -> (sigma (M,), geo (M, G))
+    color_fn: Callable,     # (d (M, 3), geo (M, G)) -> rgb (M, 3)
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    bg_color=None,
+    bg_fn=None,
+    perturb: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Uniform-z + optional importance-sampled volume rendering (renderer.py:126-254)."""
+    N = rays_o.shape[0]
+    T = cfg.num_steps
+    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    nears, fars = RM.near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    hit = nears < 1e30
+    nears = jnp.where(hit, nears, 0.0)
+    fars = jnp.where(hit, fars, 1e-3)
+    nears_, fars_ = nears[:, None], fars[:, None]
+
+    z = jnp.linspace(0.0, 1.0, T)
+    z_vals = nears_ + (fars_ - nears_) * z[None, :]
+    sample_dist = (fars_ - nears_) / T
+    if perturb and rng is not None:
+        rng, k = jax.random.split(rng)
+        z_vals = z_vals + (jax.random.uniform(k, z_vals.shape) - 0.5) * sample_dist
+
+    def pts_of(zv):
+        p = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        return jnp.clip(p, aabb[:3], aabb[3:])
+
+    xyzs = pts_of(z_vals)
+    sigmas, geos = density_fn(xyzs.reshape(-1, 3))
+    sigmas = sigmas.reshape(N, T)
+
+    if cfg.upsample_steps > 0:
+        t = cfg.upsample_steps
+        deltas = jnp.diff(z_vals, axis=-1)
+        deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
+        alphas = 1 - jnp.exp(-deltas * cfg.density_scale * jax.lax.stop_gradient(sigmas))
+        shifted = jnp.concatenate([jnp.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+        weights = alphas * jnp.cumprod(shifted, -1)[..., :-1]
+        z_mid = z_vals[..., :-1] + 0.5 * deltas[..., :-1]
+        if perturb and rng is not None:
+            rng, k = jax.random.split(rng)
+            u = jax.random.uniform(k, (N, t))
+        else:
+            u = jnp.broadcast_to(jnp.linspace(0.5 / t, 1 - 0.5 / t, t), (N, t))
+        new_z = RM.sample_pdf(z_mid, weights[:, 1:-1], t, u)
+        new_z = jax.lax.stop_gradient(new_z)
+        new_sig, new_geo = density_fn(pts_of(new_z).reshape(-1, 3))
+        z_vals = jnp.concatenate([z_vals, new_z], -1)
+        order = jnp.argsort(z_vals, -1)
+        z_vals = jnp.take_along_axis(z_vals, order, -1)
+        sigmas = jnp.take_along_axis(
+            jnp.concatenate([sigmas, new_sig.reshape(N, t)], -1), order, -1
+        )
+        geos = jnp.take_along_axis(
+            jnp.concatenate([geos.reshape(N, T, -1), new_geo.reshape(N, t, -1)], 1),
+            order[..., None],
+            1,
+        ).reshape(N * (T + t), -1)
+        xyzs = pts_of(z_vals)
+        T = T + t
+
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, T, 3))
+    rgbs = color_fn(dirs.reshape(-1, 3), geos).reshape(N, T, 3)
+
+    ori_z = jnp.clip((z_vals - nears_) / (fars_ - nears_), 0, 1)
+    ws, depth, image = RM.composite_dense(
+        cfg.density_scale * sigmas, rgbs, deltas, ori_z
+    )
+    bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
+    image = image + (1.0 - ws)[:, None] * bg
+    return {"image": image, "depth": depth, "weights_sum": ws}
+
+
+# ---------------------------------------------------------------------------
+# Occupancy-grid path — reference renderer.run_cuda
+# ---------------------------------------------------------------------------
+
+def render_occgrid(
+    field_fn: Callable,     # (xyzs (M,3), dirs (M,3)) -> (sigma (M,), rgb (M,3))
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    occ: jnp.ndarray,       # (CAS, H, H, H) bool
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    bg_color=None,
+    bg_fn=None,
+    perturb: bool = False,
+    max_steps: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """March + compact + field + composite (one path for train and eval)."""
+    N = rays_o.shape[0]
+    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    nears, fars = RM.near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    hit = nears < 1e30
+    nears_c = jnp.where(hit, nears, 0.0)
+    fars_c = jnp.where(hit, fars, 0.0)  # near >= far -> zero candidates
+
+    if perturb and rng is not None:
+        noise = jax.random.uniform(rng, (N,))
+    else:
+        noise = jnp.zeros((N,))
+
+    steps = max_steps or cfg.max_steps
+    n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
+    march = RM.march_candidates(
+        rays_o, rays_d, nears_c, fars_c, occ, noise,
+        num_steps=n_cand, max_steps=steps, grid_size=cfg.grid_size,
+        cascades=cfg.cascades, bound=cfg.bound, dt_gamma=cfg.dt_gamma,
+    )
+    m_budget = N * cfg.samples_per_ray_budget
+    comp = RM.compact_samples(rays_o, rays_d, march, m_budget=m_budget, bound=cfg.bound)
+    sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
+    ws, depth, image = RM.composite_compact(
+        cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
+    )
+    bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
+    image = image + (1.0 - ws)[:, None] * bg
+    span = jnp.maximum(fars - nears, 1e-6)
+    depth = jnp.clip(depth - nears, a_min=0.0) / span
+    return {"image": image, "depth": depth, "weights_sum": ws,
+            "num_samples": comp.num_valid}
