@@ -1,0 +1,163 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trinerflet_tpu.models.triplane import (
+    TriplaneConfig, init_triplane_params, build_planes, sample_triplane,
+    wavelet_l1, grow_params, get_levels,
+)
+from trinerflet_tpu.models.nerf import NeRFConfig, NeRFField, init_nerf_params
+
+
+def small_cfg(**kw):
+    d = dict(channels=4, resolution=64, wavelet_scale=4, wavelet_type="bior6.8")
+    d.update(kw)
+    return TriplaneConfig(**d)
+
+
+class TestTriplane:
+    def test_param_shapes_match_reference_arithmetic(self):
+        """512-res, 8-scale (3 levels): base 64^2, yh 64/128/256 — the shapes
+        the reference's dummy-DWT init produces (triplane_encoder.py:188-206)."""
+        cfg = TriplaneConfig(channels=16, resolution=512, wavelet_scale=8)
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        assert p["base"].shape == (3, 16, 64, 64)
+        assert p["wavelets"]["level_0"].shape == (3, 16, 3, 64, 64)
+        assert p["wavelets"]["level_1"].shape == (3, 16, 3, 128, 128)
+        assert p["wavelets"]["level_2"].shape == (3, 16, 3, 256, 256)
+
+    def test_build_planes_full_resolution(self):
+        cfg = small_cfg()
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        planes = build_planes(p, cfg)
+        assert planes["full"].shape == (3, 64, 64, 4)
+
+    def test_build_planes_max_resolution_truncates(self):
+        cfg = small_cfg()
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        planes = build_planes(p, cfg, max_resolution=32)
+        assert planes["full"].shape[1] == 32
+
+    def test_current_scale_freezes_finest_levels(self):
+        cfg = small_cfg(current_scale=2)
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        assert len(p["wavelets"]) == cfg.levels - get_levels(2)
+        planes = build_planes(p, cfg)  # missing levels filled with zeros
+        assert planes["full"].shape == (3, 64, 64, 4)
+
+    def test_dual_resolution_snapshots(self):
+        cfg = small_cfg(low_res_scale=4, high_res_scale=1)
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        planes = build_planes(p, cfg)
+        assert planes["low_res"].shape == (3, 16, 16, 4)
+        assert planes["full"].shape == (3, 64, 64, 4)
+
+    def test_sampling_shapes_and_gradients(self):
+        cfg = small_cfg()
+        p = init_triplane_params(jax.random.PRNGKey(1), cfg)
+
+        def f(p):
+            planes = build_planes(p, cfg)
+            coords = jnp.asarray([[0.1, -0.5, 0.7], [0.0, 0.0, 0.0]], jnp.float32)
+            return sample_triplane(planes, coords, cfg).sum()
+
+        g = jax.grad(f)(p)
+        # gradient must reach base plane AND every learnable wavelet level
+        assert float(jnp.abs(g["base"]).sum()) > 0
+        for k, v in g["wavelets"].items():
+            assert float(jnp.abs(v).sum()) > 0, k
+
+    def test_plane_projection_constant_along_normal(self):
+        """Each plane's contribution must be invariant along its normal axis."""
+        cfg = small_cfg()
+        p = init_triplane_params(jax.random.PRNGKey(2), cfg)
+        planes = build_planes(p, cfg)
+        a = sample_triplane(planes, jnp.asarray([[0.3, -0.8, 0.2]]), cfg)
+        b = sample_triplane(planes, jnp.asarray([[0.3, 0.5, 0.2]]), cfg)
+        # plane 0 spans (x, z): its C features identical when only y changes
+        C = cfg.channels
+        np.testing.assert_allclose(np.asarray(a)[0, :C], np.asarray(b)[0, :C], atol=1e-6)
+
+    def test_upscale_mode(self):
+        cfg = small_cfg(upscale_ratio_bound=0.5, upscale_levels=2)
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        assert p["upscale"]["level_0"].shape == (3, 4, 3, 32, 32)
+        assert p["upscale"]["level_1"].shape == (3, 4, 3, 32, 32)
+        planes = build_planes(p, cfg)
+        assert planes["upscale_0"].shape == (3, 64, 64, 4)
+        # inner point routed to finest nested plane; outer to base
+        out = sample_triplane(
+            planes, jnp.asarray([[0.05, 0.0, 0.0], [0.9, 0.9, 0.9]]), cfg
+        )
+        assert out.shape == (2, 12)
+
+    def test_wavelet_l1_matches_reference_formula(self):
+        cfg = small_cfg()
+        p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        p["wavelets"] = {k: jnp.ones_like(v) for k, v in p["wavelets"].items()}
+        levels = [p["wavelets"][f"level_{i}"] for i in range(len(p["wavelets"]))]
+        total = sum(v.size for v in levels)
+        expect = sum(1.0 * v.size / total for v in levels) / len(levels)
+        got = float(wavelet_l1(p, cfg))
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def test_grow_params_carries_overlapping_levels(self):
+        """Stage 512/8 -> 1024/16 keeps base + levels 0..2 (utils.py:1482-1487)."""
+        c1 = TriplaneConfig(channels=4, resolution=512, wavelet_scale=8)
+        c2 = TriplaneConfig(channels=4, resolution=1024, wavelet_scale=16)
+        p1 = init_triplane_params(jax.random.PRNGKey(0), c1)
+        p1["wavelets"]["level_0"] = p1["wavelets"]["level_0"] + 3.0
+        p2 = grow_params(p1, c1, c2, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(p2["base"]), np.asarray(p1["base"]))
+        np.testing.assert_array_equal(
+            np.asarray(p2["wavelets"]["level_0"]), np.asarray(p1["wavelets"]["level_0"])
+        )
+        assert p2["wavelets"]["level_3"].shape == (3, 4, 3, 512, 512)
+
+
+class TestNeRFField:
+    def _field(self):
+        cfg = NeRFConfig(triplane=small_cfg(), bound=1.0)
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        return NeRFField(cfg), params
+
+    def test_forward_shapes_and_ranges(self):
+        field, params = self._field()
+        planes = field.build_planes(params)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3), minval=-1, maxval=1)
+        d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        sigma, rgb = field(params, planes, x, d)
+        assert sigma.shape == (100,)
+        assert rgb.shape == (100, 3)
+        assert (np.asarray(sigma) >= 0).all()
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+    def test_density_blob(self):
+        cfg = NeRFConfig(triplane=small_cfg(), density_blob_scale=5.0, density_blob_std=0.2)
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        field = NeRFField(cfg)
+        planes = field.build_planes(params)
+        s_center, _ = field.density(params, planes, jnp.zeros((1, 3)))
+        s_edge, _ = field.density(params, planes, jnp.asarray([[0.95, 0.95, 0.95]]))
+        assert np.isfinite(float(s_center[0])) and np.isfinite(float(s_edge[0]))
+
+    def test_bfloat16_compute(self):
+        cfg = NeRFConfig(triplane=small_cfg(), compute_dtype="bfloat16")
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        field = NeRFField(cfg)
+        planes = field.build_planes(params)
+        x = jnp.zeros((8, 3))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+        sigma, rgb = field(params, planes, x, d)
+        assert sigma.dtype == jnp.float32  # density always f32 out of trunc_exp
+        assert np.isfinite(np.asarray(rgb)).all()
+
+    def test_background_net(self):
+        cfg = NeRFConfig(triplane=small_cfg(), bg_radius=1.5)
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+        field = NeRFField(cfg)
+        sph = jnp.zeros((4, 2))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+        rgb = field.background(params, sph, d)
+        assert rgb.shape == (4, 3)

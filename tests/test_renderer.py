@@ -1,0 +1,147 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trinerflet_tpu.render import renderer as R
+
+
+def analytic_density(pts):
+    """Soft sphere of radius 0.5 at origin, sigma ~ 30 inside."""
+    d = jnp.linalg.norm(pts, axis=-1)
+    sigma = 30.0 * jax.nn.sigmoid((0.5 - d) / 0.02)
+    geo = jnp.zeros(pts.shape[:-1] + (1,))
+    return sigma, geo
+
+
+def analytic_color(dirs, geo):
+    return jnp.broadcast_to(jnp.asarray([0.8, 0.4, 0.2]), dirs.shape[:-1] + (3,))
+
+
+def analytic_field(xyzs, dirs):
+    sigma, _ = analytic_density(xyzs)
+    return sigma, analytic_color(dirs, None)
+
+
+def camera_rays(n=64):
+    """n rays from z=-2 toward +z; half hit the sphere, half miss."""
+    xs = np.linspace(-0.9, 0.9, n).astype(np.float32)
+    o = np.stack([xs, np.zeros(n, np.float32), np.full(n, -2.0, np.float32)], -1)
+    d = np.broadcast_to(np.asarray([0, 0, 1.0], np.float32), (n, 3)).copy()
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestDensePath:
+    def test_sphere_silhouette(self):
+        cfg = R.RenderConfig(bound=1.0, num_steps=256, upsample_steps=0)
+        o, d = camera_rays()
+        out = R.render_dense(analytic_density, analytic_color, o, d, cfg, bg_color=0.0)
+        ws = np.asarray(out["weights_sum"])
+        xs = np.linspace(-0.9, 0.9, 64)
+        assert (ws[np.abs(xs) < 0.4] > 0.95).all()   # through the sphere: opaque
+        assert (ws[np.abs(xs) > 0.6] < 0.05).all()   # misses: transparent
+        img = np.asarray(out["image"])
+        np.testing.assert_allclose(img[32], [0.8, 0.4, 0.2], atol=0.02)
+
+    def test_upsample_path_runs(self):
+        cfg = R.RenderConfig(bound=1.0, num_steps=64, upsample_steps=64)
+        o, d = camera_rays(16)
+        out = R.render_dense(analytic_density, analytic_color, o, d, cfg,
+                             rng=jax.random.PRNGKey(0), bg_color=0.0, perturb=True)
+        assert np.isfinite(np.asarray(out["image"])).all()
+
+    def test_background_blend(self):
+        cfg = R.RenderConfig(bound=1.0, num_steps=64)
+        o, d = camera_rays(8)
+        out = R.render_dense(analytic_density, analytic_color, o, d, cfg, bg_color=1.0)
+        img = np.asarray(out["image"])
+        # miss rays = pure background
+        np.testing.assert_allclose(img[0], [1, 1, 1], atol=0.02)
+
+
+class TestOccgridPath:
+    def _occ_from_field(self, cfg):
+        state = R.init_occupancy(cfg)
+        return R.update_density_grid(
+            state, lambda p: analytic_density(p)[0], jax.random.PRNGKey(0), cfg
+        )
+
+    def test_matches_dense_path(self):
+        """Occgrid render must closely match the dense reference on the same
+        analytic field (quality-parity anchor for the fast path)."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=64, num_steps=512,
+                             max_steps=512, samples_per_ray_budget=220,
+                             density_thresh=0.5)
+        occ = self._occ_from_field(cfg)
+        assert float(occ.occ.sum()) > 0
+        o, d = camera_rays(32)
+        dense = R.render_dense(analytic_density, analytic_color, o, d, cfg, bg_color=0.0)
+        fast = R.render_occgrid(analytic_field, o, d, occ.occ, cfg, bg_color=0.0)
+        # occupancy culling legitimately drops the faint silhouette halo the
+        # dense path integrates (density below the grid threshold), so the
+        # edge rays may differ by up to the culled density's contribution.
+        np.testing.assert_allclose(
+            np.asarray(fast["image"]), np.asarray(dense["image"]), atol=0.05
+        )
+        # interior (fully opaque) and miss rays must agree tightly
+        ws_d = np.asarray(dense["weights_sum"])
+        core = (ws_d > 0.99) | (ws_d < 1e-3)
+        assert core.sum() >= 24
+        np.testing.assert_allclose(
+            np.asarray(fast["image"])[core], np.asarray(dense["image"])[core], atol=2e-3
+        )
+
+    def test_empty_grid_renders_background(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, samples_per_ray_budget=8)
+        occ = R.init_occupancy(cfg)  # all empty
+        o, d = camera_rays(8)
+        out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg, bg_color=0.5)
+        np.testing.assert_allclose(np.asarray(out["image"]), 0.5, atol=1e-5)
+        assert int(out["num_samples"]) == 0
+
+    def test_budget_overflow_truncates_gracefully(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=256,
+                             samples_per_ray_budget=4, density_thresh=0.5)
+        occ = self._occ_from_field(cfg)
+        o, d = camera_rays(16)
+        out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg, bg_color=0.0)
+        assert np.isfinite(np.asarray(out["image"])).all()
+
+    def test_gradients_through_render(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=128,
+                             samples_per_ray_budget=64, density_thresh=0.5)
+        occ = self._occ_from_field(cfg)
+        o, d = camera_rays(8)
+
+        def loss(scale):
+            def f(x, dd):
+                s, c = analytic_field(x, dd)
+                return s * scale, c
+            out = R.render_occgrid(f, o, d, occ.occ, cfg, bg_color=0.0)
+            return (out["image"] ** 2).sum()
+
+        g = jax.grad(loss)(jnp.asarray(1.0))
+        assert np.isfinite(float(g))
+
+
+class TestOccupancyUpdate:
+    def test_ema_max_update(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, density_thresh=0.5)
+        state = R.init_occupancy(cfg)
+        s1 = R.update_density_grid(state, lambda p: analytic_density(p)[0],
+                                   jax.random.PRNGKey(0), cfg)
+        # second update with zero density: grid decays, not zeroed
+        s2 = R.update_density_grid(s1, lambda p: jnp.zeros(p.shape[0]),
+                                   jax.random.PRNGKey(1), cfg)
+        g1 = np.asarray(s1.density_grid)
+        g2 = np.asarray(s2.density_grid)
+        occupied = g1 > 1.0
+        np.testing.assert_allclose(g2[occupied], g1[occupied] * 0.95, rtol=1e-4)
+
+    def test_mark_untrained(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32)
+        # single camera at -z looking forward: cells behind it must be untrained
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -2.0
+        grid = R.mark_untrained_grid(pose[None], (100.0, 100.0, 16.0, 16.0), cfg)
+        assert (grid == -1).sum() > 0
+        assert (grid == 0).sum() > 0

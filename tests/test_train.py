@@ -1,0 +1,158 @@
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trinerflet_tpu.data.synthetic import make_synthetic_scene, write_synthetic_scene
+from trinerflet_tpu.data.blender import load_blender
+from trinerflet_tpu.models.nerf import NeRFConfig
+from trinerflet_tpu.models.triplane import TriplaneConfig
+from trinerflet_tpu.render.renderer import RenderConfig, mark_untrained_grid
+from trinerflet_tpu.train.trainer import Trainer, TrainConfig, lr_schedule
+from trinerflet_tpu.train.metrics import psnr, ssim
+
+
+def tiny_setup(tmp_path=None, renderer="occgrid", iters=200, **train_kw):
+    nerf_cfg = NeRFConfig(
+        triplane=TriplaneConfig(channels=8, resolution=128, wavelet_scale=4,
+                                init_sigma=0.1),
+        bound=1.0,
+        hidden_dim=32,
+        hidden_dim_color=32,
+    )
+    render_cfg = RenderConfig(
+        bound=1.0, grid_size=32, density_thresh=1.0, max_steps=256,
+        num_steps=128, samples_per_ray_budget=48,
+    )
+    train_cfg = TrainConfig(
+        lr=2e-2, iters=iters, num_rays=1024, wavelet_regularization=0.02,
+        renderer=renderer, eval_chunk=4096, update_extra_interval=16,
+        ema_decay=0.95, **train_kw,
+    )
+    ws = str(tmp_path) if tmp_path else None
+    return Trainer(nerf_cfg, render_cfg, train_cfg, workspace=ws)
+
+
+class TestSchedule:
+    def test_decay_law(self):
+        cfg = TrainConfig(lr=1e-2, iters=1000, sched_base=0.1, sched_exp=2.5)
+        fn = lr_schedule(cfg)
+        np.testing.assert_allclose(float(fn(0)), 1e-2, rtol=1e-6)
+        np.testing.assert_allclose(float(fn(1000)), 1e-3, rtol=1e-5)  # lr * base
+        np.testing.assert_allclose(float(fn(2000)), 1e-3, rtol=1e-5)  # clamped
+        mid = float(fn(500))
+        assert 1e-3 < mid < 1e-2
+
+    def test_warmup(self):
+        cfg = TrainConfig(lr=1e-2, iters=1000, warmup_steps=100, warmup_factor=1e-3)
+        fn = lr_schedule(cfg)
+        assert float(fn(0)) < 1e-4
+        assert float(fn(99)) > float(fn(0))
+        np.testing.assert_allclose(float(fn(100)), 1e-2, rtol=1e-5)
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        return make_synthetic_scene(num_views=12, H=64, W=64, num_steps=128)
+
+    def test_fit_synthetic_scene_occgrid(self, scene, tmp_path):
+        """The minimum end-to-end slice: fit the synthetic scene and verify
+        the loss drops and a held-out-ish render reaches reasonable PSNR."""
+        trainer = tiny_setup(tmp_path, iters=300)
+        grid = mark_untrained_grid(scene.poses, scene.intrinsics, trainer.render_cfg)
+        state = trainer.init_state(density_grid=grid)
+        losses = []
+        state = trainer.fit(state, scene, log_every=0,
+                            callback=lambda s, a: losses.append(float(a["loss"])))
+        assert np.mean(losses[:20]) > 3 * np.mean(losses[-20:]), (
+            f"loss did not drop: {np.mean(losses[:20])} -> {np.mean(losses[-20:])}"
+        )
+        img, depth = trainer.render_image(
+            state.params, state.occ, scene.poses[0], scene.intrinsics, scene.H, scene.W
+        )
+        gt = scene.images[0]
+        gt = gt[..., :3] * gt[..., 3:] + 0.0 * (1 - gt[..., 3:])
+        p = psnr(img, gt)
+        assert p > 18.0, f"PSNR too low after 300 iters: {p:.2f}"
+        assert np.isfinite(depth).all()
+        # store for following tests via class attr
+        type(self).trained = (trainer, state, p)
+
+    def test_ema_eval_and_results_json(self, scene, tmp_path):
+        trainer, state, _ = type(self).trained
+        trainer.workspace = str(tmp_path)
+        res = trainer.evaluate(state, scene, use_ema=True, tag="results")
+        assert res["PSNR"] > 16.0
+        assert 0.0 < res["SSIM"] <= 1.0
+        assert os.path.exists(os.path.join(str(tmp_path), "results.json"))
+
+    def test_checkpoint_roundtrip(self, scene, tmp_path):
+        trainer, state, _ = type(self).trained
+        path = os.path.join(str(tmp_path), "ckpt.pkl")
+        trainer.save_checkpoint(state, path)
+        state2 = trainer.load_checkpoint(path)
+        img1, _ = trainer.render_image(state.params, state.occ, scene.poses[0],
+                                       scene.intrinsics, scene.H, scene.W)
+        img2, _ = trainer.render_image(state2.params, state2.occ, scene.poses[0],
+                                       scene.intrinsics, scene.H, scene.W)
+        np.testing.assert_allclose(img1, img2, atol=1e-5)
+        assert int(state2.step) == int(state.step)
+
+    def test_multiscale_stage_growth(self, scene, tmp_path):
+        """Stage 1 (res 128, scale 4) -> stage 2 (res 256, scale 8): weights
+        carry over and the new stage renders at least as well pre-finetune."""
+        trainer, state, _ = type(self).trained
+        path = os.path.join(str(tmp_path), "stage1.pkl")
+        trainer.save_checkpoint(state, path)
+
+        nerf2 = NeRFConfig(
+            triplane=TriplaneConfig(channels=8, resolution=256, wavelet_scale=8),
+            bound=1.0, hidden_dim=32, hidden_dim_color=32,
+        )
+        t2 = Trainer(nerf2, trainer.render_cfg, trainer.cfg)
+        s2 = t2.load_model_for_stage(path, jax.random.PRNGKey(1), trainer.nerf_cfg)
+        s2 = s2._replace(occ=state.occ)
+        img1, _ = trainer.render_image(state.params, state.occ, scene.poses[0],
+                                       scene.intrinsics, scene.H, scene.W)
+        img2, _ = t2.render_image(s2.params, s2.occ, scene.poses[0],
+                                  scene.intrinsics, scene.H, scene.W)
+        gt = scene.images[0][..., :3] * scene.images[0][..., 3:]
+        # the zero-initialized extra level must not destroy the fit
+        assert psnr(img2, gt) > psnr(img1, gt) - 1.5
+
+    def test_dense_renderer_path_trains(self, scene):
+        trainer = tiny_setup(renderer="dense", iters=60)
+        state = trainer.init_state()
+        losses = []
+        state = trainer.fit(state, scene, log_every=0,
+                            callback=lambda s, a: losses.append(float(a["loss"])))
+        assert np.mean(losses[:10]) > np.mean(losses[-10:])
+
+
+class TestDataRoundtrip:
+    def test_blender_format_roundtrip(self, tmp_path):
+        """write_synthetic_scene -> load_blender must reproduce poses/images."""
+        root = write_synthetic_scene(str(tmp_path / "scene"), num_views=3,
+                                     num_test_views=2, H=32, W=32)
+        scene = load_blender(root, "train", scale=1.0)
+        ref = make_synthetic_scene(num_views=3, H=32, W=32)
+        assert scene.images.shape == (3, 32, 32, 4)
+        np.testing.assert_allclose(scene.poses, ref.poses, atol=1e-5)
+        np.testing.assert_allclose(scene.images, ref.images, atol=0.01)
+        np.testing.assert_allclose(scene.intrinsics, ref.intrinsics, rtol=1e-5)
+
+
+class TestMetrics:
+    def test_psnr(self):
+        a = np.zeros((8, 8, 3))
+        assert psnr(a, a) > 100
+        b = a + 0.1
+        np.testing.assert_allclose(psnr(a, b), 20.0, atol=0.01)
+
+    def test_ssim_identity_and_noise(self):
+        rng = np.random.default_rng(0)
+        a = rng.random((48, 48, 3))
+        assert ssim(a, a) > 0.999
+        assert ssim(a, rng.random((48, 48, 3))) < 0.2

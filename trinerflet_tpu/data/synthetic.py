@@ -1,0 +1,151 @@
+"""Synthetic volumetric test scene.
+
+Generates ground-truth renders of an analytic density field (soft colored
+spheres) with a brute-force numpy ray marcher. Serves the role the reference
+delegates to the nerf-synthetic Blender scenes: an end-to-end fit target for
+tests and benchmarks, with no dataset download. Can also write the scene to
+disk in ``transforms_{split}.json`` Blender format so the CLI/data loader path
+is exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .blender import SceneData, nerf_matrix_to_ngp
+from .rays import rays_full_image
+
+__all__ = ["make_synthetic_scene", "write_synthetic_scene", "orbit_pose"]
+
+# analytic scene: (center, radius, rgb, density)
+_SPHERES = [
+    ((-0.25, 0.0, 0.05), 0.28, (0.9, 0.25, 0.2), 40.0),
+    ((0.28, 0.05, -0.05), 0.22, (0.2, 0.4, 0.9), 40.0),
+    ((0.0, -0.3, 0.1), 0.18, (0.3, 0.85, 0.3), 40.0),
+]
+
+
+def field(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic (sigma, rgb) at (..., 3) points."""
+    sigma = np.zeros(pts.shape[:-1], np.float32)
+    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
+    for (c, r, col, dens) in _SPHERES:
+        d = np.linalg.norm(pts - np.asarray(c, np.float32), axis=-1)
+        s = dens * (1.0 / (1.0 + np.exp(np.clip((d - r) / 0.01, -60, 60))))
+        sigma += s
+        rgb += s[..., None] * np.asarray(col, np.float32)
+    rgb = rgb / np.maximum(sigma[..., None], 1e-8)
+    return sigma, rgb
+
+
+def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
+    """cam2world in the framework's (ngp-style) convention: camera looks along
+    +z of its rotation toward the origin."""
+    cx = radius * np.sin(theta) * np.cos(phi)
+    cy = radius * np.cos(theta)
+    cz = radius * np.sin(theta) * np.sin(phi)
+    center = np.array([cx, cy, cz], np.float32)
+    forward = -center / np.linalg.norm(center)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(up, forward)
+    right /= np.linalg.norm(right) + 1e-9
+    up2 = np.cross(forward, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0] = right
+    pose[:3, 1] = up2
+    pose[:3, 2] = forward
+    pose[:3, 3] = center
+    return pose
+
+
+def _render_view(pose, intrinsics, H, W, num_steps=192, near=0.8, far=3.2):
+    rays_o, rays_d = rays_full_image(pose, intrinsics, H, W)
+    t = np.linspace(near, far, num_steps, dtype=np.float32)
+    dt = t[1] - t[0]
+    img = np.zeros((H * W, 3), np.float32)
+    acc = np.zeros((H * W,), np.float32)
+    T = np.ones((H * W,), np.float32)
+    for k in range(num_steps):  # chunk over steps to bound memory
+        pts = rays_o + rays_d * t[k]
+        sigma, rgb = field(pts)
+        alpha = 1.0 - np.exp(-sigma * dt)
+        w = alpha * T
+        img += w[:, None] * rgb
+        acc += w
+        T *= 1.0 - alpha
+    rgba = np.concatenate([img, acc[:, None]], axis=-1)
+    return rgba.reshape(H, W, 4)
+
+
+def make_synthetic_scene(
+    num_views: int = 20,
+    H: int = 100,
+    W: int = 100,
+    radius: float = 2.0,
+    seed: int = 0,
+    num_steps: int = 192,
+) -> SceneData:
+    rng = np.random.default_rng(seed)
+    fx = fy = 0.9 * W
+    intr = (fx, fy, W / 2.0, H / 2.0)
+    poses, images = [], []
+    for v in range(num_views):
+        theta = np.arccos(1 - 1.6 * (v + 0.5) / num_views)  # avoid poles
+        phi = (v * 2.399963) % (2 * np.pi) + rng.uniform(0, 0.1)
+        pose = orbit_pose(theta, phi, radius)
+        poses.append(pose)
+        images.append(_render_view(pose, intr, H, W, num_steps))
+    return SceneData(
+        images=np.stack(images), poses=np.stack(poses), intrinsics=intr, H=H, W=W
+    )
+
+
+def _ngp_to_blender(pose: np.ndarray) -> np.ndarray:
+    """Inverse of nerf_matrix_to_ngp with scale=1, offset=0."""
+    b = np.eye(4, dtype=np.float32)
+    b[1] = [pose[0, 0], -pose[0, 1], -pose[0, 2], pose[0, 3]]
+    b[2] = [pose[1, 0], -pose[1, 1], -pose[1, 2], pose[1, 3]]
+    b[0] = [pose[2, 0], -pose[2, 1], -pose[2, 2], pose[2, 3]]
+    return b
+
+
+def write_synthetic_scene(
+    root: str,
+    num_views: int = 20,
+    num_test_views: int = 4,
+    H: int = 100,
+    W: int = 100,
+    seed: int = 0,
+) -> str:
+    """Write the synthetic scene to disk in Blender transforms format
+    (loadable by ``load_blender(root, scale=1.0)``)."""
+    import cv2
+
+    os.makedirs(root, exist_ok=True)
+    splits = [("train", num_views, seed), ("val", num_test_views, seed + 1),
+              ("test", num_test_views, seed + 1)]
+    fx = 0.9 * W
+    cam_angle_x = 2 * np.arctan(0.5 * W / fx)
+    for split, n, s in splits:
+        scene = make_synthetic_scene(n, H, W, seed=s)
+        frames = []
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        for v in range(n):
+            name = f"./{split}/r_{v}"
+            img = (np.clip(scene.images[v], 0, 1) * 255).astype(np.uint8)
+            bgra = img.copy()
+            bgra[..., :3] = img[..., 2::-1]
+            cv2.imwrite(os.path.join(root, f"{split}/r_{v}.png"), bgra)
+            frames.append(
+                {
+                    "file_path": name,
+                    "transform_matrix": _ngp_to_blender(scene.poses[v]).tolist(),
+                }
+            )
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": float(cam_angle_x), "frames": frames}, f)
+    return root

@@ -161,7 +161,7 @@ def update_density_grid(
     new_grid = jnp.where(
         valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
     )
-    mean_density = jnp.mean(jnp.clip(new_grid, a_min=0))
+    mean_density = jnp.mean(jnp.clip(new_grid, min=0))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     occ = (new_grid > thresh).reshape(C, H, H, H)
     return OccupancyState(
@@ -316,6 +316,6 @@ def render_occgrid(
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
-    depth = jnp.clip(depth - nears, a_min=0.0) / span
+    depth = jnp.clip(depth - nears, min=0.0) / span
     return {"image": image, "depth": depth, "weights_sum": ws,
             "num_samples": comp.num_valid}

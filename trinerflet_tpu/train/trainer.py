@@ -1,0 +1,420 @@
+"""Training loop: optimizer, EMA, losses, occupancy refresh, eval, checkpoints.
+
+TPU-native counterpart of the reference ``Trainer``
+(reconstruction/nerf/utils.py:364-1661). Key mappings:
+
+* Adam(betas=(0.9, 0.99), eps=1e-15) + warmup/exponential decay
+  (main_nerf.py:116-129, utils.py:55-62)       -> optax chain with the same law
+* fp16 autocast + GradScaler                    -> bfloat16 matmuls, no scaler
+* EMA via torch_ema (num_updates ramp)          -> hand-rolled pytree EMA
+* wavelet L1 with numel weighting (utils.py:640-663) -> models.triplane.wavelet_l1
+* per-epoch global ray shuffle (utils.py:1126)  -> on-device uniform ray sampling
+  inside the jitted step (see data/rays.py)
+* update_extra_state every 16 steps (utils.py:1144) -> update_density_grid
+* checkpoint dict incl. EMA/opt/occupancy stats (utils.py:1390-1463)
+  -> pickled pytree with the same components; stage growth via
+  models.triplane.grow_params instead of load_state_dict(strict=False)
+
+The whole hot path (ray sampling -> plane build -> march -> field -> composite
+-> loss -> backward -> adam -> ema) is ONE jitted, donated-state function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.blender import SceneData
+from ..data.rays import sample_ray_batch, rays_full_image
+from ..models.nerf import NeRFConfig, NeRFField, init_nerf_params
+from ..models.triplane import wavelet_l1, grow_params
+from ..render import renderer as R
+from .metrics import PSNRMeter, SSIMMeter, psnr as psnr_fn
+
+__all__ = ["TrainConfig", "TrainState", "Trainer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-2
+    iters: int = 5000
+    warmup_steps: int = 0
+    warmup_factor: float = 1e-3
+    sched_base: float = 0.1          # --sched_base
+    sched_exp: float = 2.5           # --sched_exp
+    num_rays: int = 4096
+    ema_decay: float = 0.95          # <= 0 disables
+    wavelet_regularization: float = 0.1
+    weighted_regularization: bool = False
+    background_color: float = 0.0
+    train_rand_bg: bool = False
+    criterion: str = "mse"           # "mse" | "huber"
+    huber_delta: float = 0.1
+    alpha_bce: float = 0.0
+    update_extra_interval: int = 16
+    renderer: str = "occgrid"        # "occgrid" | "dense"
+    eval_chunk: int = 16384
+    seed: int = 0
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    ema_count: jnp.ndarray    # () int32
+    occ: R.OccupancyState
+    step: jnp.ndarray         # () int32
+    rng: jax.Array
+
+
+def lr_schedule(cfg: TrainConfig):
+    """decay_function (utils.py:55-62): linear warmup from warmup_factor, then
+    sched_base ** (min(t/T, 1) ** sched_exp); multiplies the base lr."""
+    warmup = max(cfg.warmup_steps, 0)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        decay = cfg.sched_base ** (
+            jnp.minimum(jnp.maximum(step - warmup, 0.0) / cfg.iters, 1.0) ** cfg.sched_exp
+        )
+        if warmup > 0:
+            wf = cfg.sched_base * cfg.warmup_factor + step * (1 - cfg.warmup_factor) / max(warmup - 1, 1)
+            return cfg.lr * jnp.where(step < warmup, wf, decay)
+        return cfg.lr * decay
+
+    return fn
+
+
+def _criterion(cfg: TrainConfig, pred, gt):
+    d = pred - gt
+    if cfg.criterion == "huber":
+        ad = jnp.abs(d)
+        q = jnp.minimum(ad, cfg.huber_delta)
+        return (0.5 * q * q + cfg.huber_delta * (ad - q)).mean(-1)
+    return (d * d).mean(-1)
+
+
+class Trainer:
+    def __init__(
+        self,
+        nerf_cfg: NeRFConfig,
+        render_cfg: R.RenderConfig,
+        train_cfg: TrainConfig,
+        workspace: Optional[str] = None,
+    ):
+        self.nerf_cfg = nerf_cfg
+        self.render_cfg = render_cfg
+        self.cfg = train_cfg
+        self.field = NeRFField(nerf_cfg)
+        self.workspace = workspace
+        if workspace:
+            os.makedirs(workspace, exist_ok=True)
+
+        self.optimizer = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+            optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(train_cfg)(s)),
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
+        self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: Optional[jax.Array] = None, density_grid: Optional[np.ndarray] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed) if rng is None else rng
+        k_param, k_loop = jax.random.split(rng)
+        params = init_nerf_params(k_param, self.nerf_cfg)
+        occ = R.init_occupancy(self.render_cfg)
+        if density_grid is not None:
+            occ = occ._replace(density_grid=jnp.asarray(density_grid))
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            # distinct buffers: params and ema live in one donated state pytree
+            ema_params=jax.tree.map(jnp.copy, params),
+            ema_count=jnp.zeros((), jnp.int32),
+            occ=occ,
+            step=jnp.zeros((), jnp.int32),
+            rng=k_loop,
+        )
+
+    # ------------------------------------------------------------ train step
+
+    def _loss_fn(self, params, occ, rng, images, poses, intrinsics):
+        cfg = self.cfg
+        k_batch, k_bg, k_perturb = jax.random.split(rng, 3)
+        rays_o, rays_d, pixels = sample_ray_batch(
+            k_batch, images, poses, intrinsics, cfg.num_rays
+        )
+        if cfg.train_rand_bg:
+            bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
+        else:
+            bg = jnp.full((cfg.num_rays, 3), cfg.background_color, jnp.float32)
+        if pixels.shape[-1] == 4:
+            gt = pixels[..., :3] * pixels[..., 3:] + bg * (1 - pixels[..., 3:])
+        else:
+            gt = pixels
+
+        planes = self.field.build_planes(params)
+
+        if cfg.renderer == "occgrid":
+            def field_fn(xyzs, dirs):
+                return self.field(params, planes, xyzs, dirs)
+
+            out = R.render_occgrid(
+                field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
+                rng=k_perturb, bg_color=bg, perturb=True,
+            )
+        else:
+            out = R.render_dense(
+                lambda x: self.field.density(params, planes, x),
+                lambda d, g: self.field.color(params, d, g),
+                rays_o, rays_d, self.render_cfg, rng=k_perturb,
+                bg_color=bg, perturb=True,
+            )
+
+        pred = out["image"]
+        loss_pix = _criterion(cfg, pred, gt)
+        loss = loss_pix.mean()
+        aux = {"mse": jnp.mean((pred - gt) ** 2)}
+
+        if cfg.wavelet_regularization > 0:
+            reg = wavelet_l1(params["encoder"], self.nerf_cfg.triplane, cfg.weighted_regularization)
+            loss = loss + cfg.wavelet_regularization * reg
+            aux["wavelet_reg"] = reg
+        if cfg.alpha_bce > 0:
+            alpha = jnp.clip(out["weights_sum"], 0.01, 0.99)
+            loss = loss + (-cfg.alpha_bce * jnp.log(alpha).mean())
+        if "num_samples" in out:
+            aux["num_samples"] = out["num_samples"]
+        return loss, aux
+
+    def _train_step_impl(self, state: TrainState, images, poses, intrinsics):
+        rng, k = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, state.occ, k, images, poses, intrinsics
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if self.cfg.ema_decay > 0:
+            n = state.ema_count + 1
+            decay = jnp.minimum(self.cfg.ema_decay, (1.0 + n) / (10.0 + n))
+            ema = jax.tree.map(
+                lambda e, p: e * decay + p * (1 - decay), state.ema_params, params
+            )
+        else:
+            n = state.ema_count
+            ema = state.ema_params  # unused when EMA disabled
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+            ema_count=n,
+            occ=state.occ,
+            step=state.step + 1,
+            rng=rng,
+        )
+        aux["loss"] = loss
+        return new_state, aux
+
+    def _update_grid_impl(self, state: TrainState):
+        rng, k = jax.random.split(state.rng)
+        planes = self.field.build_planes(state.params)
+
+        def density_fn(pts):
+            sigma, _ = self.field.density(state.params, planes, pts)
+            return sigma
+
+        occ = R.update_density_grid(state.occ, density_fn, k, self.render_cfg)
+        return state._replace(occ=occ, rng=rng)
+
+    # ------------------------------------------------------------- rendering
+
+    def _render_chunk_impl(self, params, occ, rays_o, rays_d, bg_color, train: bool = False):
+        planes = self.field.build_planes(params)
+        if self.cfg.renderer == "occgrid":
+            def field_fn(xyzs, dirs):
+                return self.field(params, planes, xyzs, dirs)
+
+            return R.render_occgrid(
+                field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
+                bg_color=bg_color, perturb=False,
+            )
+        return R.render_dense(
+            lambda x: self.field.density(params, planes, x),
+            lambda d, g: self.field.color(params, d, g),
+            rays_o, rays_d, self.render_cfg, bg_color=bg_color, perturb=False,
+        )
+
+    def render_image(self, params, occ, pose, intrinsics, H, W, bg_color=None):
+        """Full-frame render in eval chunks (reference staged render,
+        renderer.py:545-577). Returns (image (H, W, 3), depth (H, W))."""
+        if bg_color is None:
+            bg_color = self.cfg.background_color
+        rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
+        n = H * W
+        chunk = self.cfg.eval_chunk
+        imgs, deps = [], []
+        bg = jnp.full((chunk, 3), bg_color, jnp.float32)
+        for s in range(0, n, chunk):
+            ro = rays_o[s : s + chunk]
+            rd = rays_d[s : s + chunk]
+            pad = chunk - len(ro)
+            if pad:
+                ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
+                rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
+            out = self._render_chunk(params, occ, jnp.asarray(ro), jnp.asarray(rd), bg)
+            img = np.asarray(out["image"])
+            dep = np.asarray(out["depth"])
+            if pad:
+                img, dep = img[:-pad], dep[:-pad]
+            imgs.append(img)
+            deps.append(dep)
+        return (
+            np.concatenate(imgs).reshape(H, W, 3),
+            np.concatenate(deps).reshape(H, W),
+        )
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, state: TrainState, scene: SceneData, log_every: int = 100, callback=None):
+        """Run cfg.iters training steps. Returns the final state."""
+        images = jnp.asarray(scene.images)
+        poses = jnp.asarray(scene.poses)
+        intr = jnp.asarray(scene.intrinsics, jnp.float32)
+        total = self.cfg.iters + max(self.cfg.warmup_steps, 0)
+        t0 = time.time()
+        for it in range(total):
+            if (
+                self.cfg.renderer == "occgrid"
+                and int(state.step) % self.cfg.update_extra_interval == 0
+            ):
+                state = self._update_grid(state)
+            state, aux = self._train_step(state, images, poses, intr)
+            if log_every and (it % log_every == 0 or it == total - 1):
+                loss = float(aux["loss"])
+                dt = time.time() - t0
+                print(
+                    f"step {int(state.step):6d} loss {loss:.5f} "
+                    f"({self.cfg.num_rays * (it + 1) / max(dt, 1e-9):,.0f} rays/s)"
+                )
+            if callback is not None:
+                callback(state, aux)
+        return state
+
+    # ----------------------------------------------------------------- eval
+
+    def evaluate(
+        self,
+        state: TrainState,
+        scene: SceneData,
+        use_ema: bool = True,
+        save_dir: Optional[str] = None,
+        tag: str = "results",
+    ) -> Dict:
+        params = state.ema_params if (use_ema and self.cfg.ema_decay > 0) else state.params
+        psnr_m, ssim_m = PSNRMeter(), SSIMMeter()
+        per_image = []
+        for v in range(scene.num_views):
+            img, _ = self.render_image(
+                params, state.occ, scene.poses[v], scene.intrinsics, scene.H, scene.W
+            )
+            gt = scene.images[v]
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + self.cfg.background_color * (1 - gt[..., 3:])
+            psnr_m.update(img, gt)
+            ssim_m.update(img, gt)
+            per_image.append({"view": v, "PSNR": psnr_fn(img, gt)})
+            if save_dir:
+                import cv2
+
+                os.makedirs(save_dir, exist_ok=True)
+                bgr = (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(save_dir, f"{tag}_{v:03d}.png"), bgr)
+        results = {**psnr_m.report2(), **ssim_m.report2(), "per_image": per_image}
+        if self.workspace:
+            with open(os.path.join(self.workspace, f"{tag}.json"), "w") as f:
+                json.dump(results, f, indent=2)
+        return results
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, state: TrainState, path: str, full: bool = True):
+        to_np = lambda t: jax.tree.map(np.asarray, t)
+        payload = {
+            "params": to_np(state.params),
+            "ema_params": to_np(state.ema_params),
+            "ema_count": int(state.ema_count),
+            "step": int(state.step),
+            "density_grid": np.asarray(state.occ.density_grid),
+            "mean_density": float(state.occ.mean_density),
+        }
+        if full:
+            payload["opt_state"] = to_np(state.opt_state)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str, state: Optional[TrainState] = None) -> TrainState:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        if state is None:
+            state = self.init_state()
+        occ = state.occ._replace(
+            density_grid=jnp.asarray(payload["density_grid"]),
+            mean_density=jnp.asarray(payload["mean_density"]),
+        )
+        # rebuild occupancy bits from the loaded grid
+        H, C = self.render_cfg.grid_size, self.render_cfg.cascades
+        thresh = min(payload["mean_density"], self.render_cfg.density_thresh)
+        occ = occ._replace(
+            occ=jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
+        )
+        to_dev = lambda t: jax.tree.map(jnp.asarray, t)
+        state = state._replace(
+            params=to_dev(payload["params"]),
+            ema_params=to_dev(payload["ema_params"]),
+            ema_count=jnp.asarray(payload["ema_count"], jnp.int32),
+            step=jnp.asarray(payload["step"], jnp.int32),
+            occ=occ,
+        )
+        if "opt_state" in payload:
+            state = state._replace(opt_state=to_dev(payload["opt_state"]))
+        return state
+
+    def load_model_for_stage(self, path: str, rng, old_nerf_cfg: NeRFConfig) -> TrainState:
+        """Cross-stage resume: load a previous (smaller) stage's model weights
+        into this stage's freshly-initialized pyramid (reference 'latest_model'
+        resume + strict=False growth, utils.py:476-478, 1482-1487)."""
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        state = self.init_state(rng)
+        old_params = payload["params"]
+        new_params = dict(state.params)
+        new_params["encoder"] = grow_params(
+            jax.tree.map(jnp.asarray, old_params["encoder"]),
+            old_nerf_cfg.triplane,
+            self.nerf_cfg.triplane,
+            jax.random.PRNGKey(self.cfg.seed + 7),
+        )
+        for k in ("sigma_net", "color_net", "bg_net"):
+            if k in old_params and k in new_params:
+                new_params[k] = jax.tree.map(jnp.asarray, old_params[k])
+        state = state._replace(
+            params=new_params,
+            opt_state=self.optimizer.init(new_params),
+            ema_params=jax.tree.map(jnp.copy, new_params),
+        )
+        return state
