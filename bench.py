@@ -1,0 +1,92 @@
+"""Benchmark: training-step ray throughput of the flagship wavelet-triplane
+NeRF on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
+
+Baseline note: the reference repo publishes no numbers (BASELINE.md); the
+comparison constant below is a provisional estimate of torch-ngp-style
+training throughput for the reference's base Blender recipe on its tested
+A6000 (60k rays/step; see BASELINE.md for derivation and TODO).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A6000_BASELINE_RAYS_PER_SEC = 2.0e6  # provisional; see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from trinerflet_tpu.data.synthetic import make_synthetic_scene
+    from trinerflet_tpu.models.nerf import NeRFConfig
+    from trinerflet_tpu.models.triplane import TriplaneConfig
+    from trinerflet_tpu.render.renderer import RenderConfig, mark_untrained_grid
+    from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+    # base-recipe-like model: 1024^2 triplane, 16ch, levels 16, bound 1.5
+    num_rays = 32768
+    nerf_cfg = NeRFConfig(
+        triplane=TriplaneConfig(channels=16, resolution=1024, wavelet_scale=16),
+        bound=1.5,
+        compute_dtype="bfloat16",
+    )
+    render_cfg = RenderConfig(
+        bound=1.5, grid_size=128, density_thresh=10.0, max_steps=1024,
+        samples_per_ray_budget=20, dt_gamma=0.0,
+    )
+    train_cfg = TrainConfig(
+        lr=1e-2, iters=10000, num_rays=num_rays, wavelet_regularization=0.4,
+        renderer="occgrid", update_extra_interval=16,
+    )
+    trainer = Trainer(nerf_cfg, render_cfg, train_cfg)
+
+    scene = make_synthetic_scene(num_views=8, H=256, W=256, num_steps=128)
+    grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
+    state = trainer.init_state(density_grid=grid)
+
+    images = jnp.asarray(scene.images)
+    poses = jnp.asarray(scene.poses)
+    intr = jnp.asarray(scene.intrinsics, jnp.float32)
+
+    # warm up until the occupancy grid reflects actual scene content so the
+    # measured step carries a realistic marching/MLP workload (a fresh grid is
+    # nearly empty -> artificially cheap steps)
+    warm = 200
+    for i in range(warm):
+        if i % train_cfg.update_extra_interval == 0:
+            state = trainer._update_grid(state)
+        state, aux = trainer._train_step(state, images, poses, intr)
+    jax.block_until_ready(aux["loss"])
+
+    steps = 100
+    samples = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        if i % train_cfg.update_extra_interval == 0:
+            state = trainer._update_grid(state)
+        state, aux = trainer._train_step(state, images, poses, intr)
+        samples.append(aux["num_samples"])
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = num_rays * steps / dt
+    mean_samples = float(np.mean([float(s) for s in samples]))
+    print(f"# step time {dt / steps * 1e3:.2f} ms; "
+          f"mean samples/step {mean_samples:,.0f} "
+          f"({mean_samples / num_rays:.1f}/ray); loss {float(aux['loss']):.5f}",
+          flush=True)
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A6000_BASELINE_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

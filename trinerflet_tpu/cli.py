@@ -1,0 +1,333 @@
+"""Command-line entry point: multiscale wavelet-triplane NeRF reconstruction.
+
+Mirrors the reference CLI (reconstruction/main_nerf.py + run_utils.py:4-146):
+the same flag names, the same list-valued multiscale schedule semantics
+(``--iters/--num_rays/--triplane_resolution/--triplane_wavelet_levels/
+--downscale/--warmup_steps/--lr/--wavelet_regularization/--upscale_*`` are
+broadcast per stage, main_nerf.py:168-205), per-stage resume from the latest
+model checkpoint with wavelet-pyramid growth, and a test mode that evaluates,
+renders a video, and exports plane dumps.
+
+TPU notes: ``--cuda_ray`` selects the occupancy-grid (compacted marching)
+render path; ``--fp16`` selects bfloat16 matmuls; ``-O`` implies both.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def get_params(argv=None):
+    parser = argparse.ArgumentParser(description="trinerflet_tpu reconstruction")
+    parser.add_argument("--path", type=str, default=None)
+    parser.add_argument("-O", action="store_true", help="equals --fp16 --cuda_ray --preload")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--workspace", type=str, default="workspace")
+    parser.add_argument("--seed", type=int, default=0)
+
+    # training
+    parser.add_argument("--iters", type=int, nargs="+", default=[30000])
+    parser.add_argument("--lr", type=float, nargs="+", default=[1e-2])
+    parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument("--num_rays", type=int, nargs="+", default=[4096])
+    parser.add_argument("--cuda_ray", action="store_true",
+                        help="use occupancy-grid accelerated marching (TPU path)")
+    parser.add_argument("--max_steps", type=int, default=1024)
+    parser.add_argument("--num_steps", type=int, default=512)
+    parser.add_argument("--upsample_steps", type=int, default=0)
+    parser.add_argument("--update_extra_interval", type=int, default=16)
+    parser.add_argument("--max_ray_batch", type=int, default=4096)
+
+    # backbone
+    parser.add_argument("--fp16", action="store_true", help="bfloat16 matmuls on TPU")
+
+    # dataset
+    parser.add_argument("--color_space", type=str, default="srgb")
+    parser.add_argument("--preload", action="store_true")
+    parser.add_argument("--bound", type=float, default=2)
+    parser.add_argument("--scale", type=float, default=0.33)
+    parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    parser.add_argument("--dt_gamma", type=float, default=1 / 128)
+    parser.add_argument("--min_near", type=float, default=0.2)
+    parser.add_argument("--density_thresh", type=float, default=10)
+    parser.add_argument("--bg_radius", type=float, default=-1)
+
+    # TriNeRFLet
+    parser.add_argument("--triplane_wavelet", action="store_true")
+    parser.add_argument("--wavelet_regularization", type=float, nargs="+", default=[0.1])
+    parser.add_argument("--weighted_regularization", action="store_true")
+    parser.add_argument("--save_every", type=int, default=1)
+    parser.add_argument("--background_color", type=float, default=0)
+    parser.add_argument("--train_rand_bg", action="store_true")
+    parser.add_argument("--triplane_channels", type=int, default=16)
+    parser.add_argument("--triplane_resolution", type=int, nargs="+", default=[2048])
+    parser.add_argument("--triplane_wavelet_levels", type=int, nargs="+", default=[128])
+    parser.add_argument("--hidden_dim", type=int, default=64)
+    parser.add_argument("--hidden_dim_color", type=int, default=64)
+    parser.add_argument("--hidden_dim_bg", type=int, default=64)
+    parser.add_argument("--save_planes", action="store_true")
+    parser.add_argument("--sched_base", type=float, default=0.1)
+    parser.add_argument("--sched_exp", type=float, default=2.5)
+    parser.add_argument("--downscale", type=int, nargs="+", default=[1])
+    parser.add_argument("--warmup_steps", type=int, nargs="+", default=[0])
+    parser.add_argument("--warmup_factor", type=float, default=1e-3)
+    parser.add_argument("--ema_decay", type=float, default=0.95)
+    parser.add_argument("--test_with_ema", action="store_true")
+    parser.add_argument("--fast_training", action="store_true")
+    parser.add_argument("--mute", action="store_true")
+    parser.add_argument("--wavelet_type", type=str, default="bior6.8")
+    parser.add_argument("--wavelet_base_resolution", type=int, default=0)
+    parser.add_argument("--upscale_ratio_bound", type=float, nargs="+", default=[-1])
+    parser.add_argument("--upscale_levels", type=int, nargs="+", default=[2])
+    parser.add_argument("--huber_loss", action="store_true")
+    parser.add_argument("--density_scale", type=float, default=1)
+    parser.add_argument("--alpha_bce", type=float, default=0)
+    parser.add_argument("--density_blob_scale", type=float, default=0)
+    parser.add_argument("--density_blob_std", type=float, default=0.5)
+
+    # performance knobs (TPU additions)
+    parser.add_argument("--samples_per_ray_budget", type=int, default=24,
+                        help="static compaction budget per ray (occgrid path)")
+    parser.add_argument("--eval_interval_stages", type=int, default=0,
+                        help="evaluate val every N k-steps during training (0=end only)")
+
+    return parser.parse_args(argv)
+
+
+STAGE_KEYS = [
+    "iters", "num_rays", "triplane_resolution", "triplane_wavelet_levels",
+    "downscale", "warmup_steps", "lr", "wavelet_regularization",
+    "upscale_ratio_bound", "upscale_levels",
+]
+
+
+def build_configs(opt):
+    """One stage's flat opt -> (NeRFConfig, RenderConfig, TrainConfig)."""
+    from .models.nerf import NeRFConfig
+    from .models.triplane import TriplaneConfig
+    from .render.renderer import RenderConfig
+    from .train.trainer import TrainConfig
+
+    tri = TriplaneConfig(
+        channels=opt.triplane_channels,
+        resolution=opt.triplane_resolution,
+        wavelet_scale=opt.triplane_wavelet_levels,
+        wavelet_type=opt.wavelet_type,
+        wavelet_base_resolution=opt.wavelet_base_resolution,
+        upscale_ratio_bound=opt.upscale_ratio_bound,
+        upscale_levels=opt.upscale_levels,
+    )
+    nerf_cfg = NeRFConfig(
+        triplane=tri,
+        bound=opt.bound,
+        hidden_dim=opt.hidden_dim,
+        hidden_dim_color=opt.hidden_dim_color,
+        density_scale=opt.density_scale,
+        density_blob_scale=opt.density_blob_scale,
+        density_blob_std=opt.density_blob_std,
+        bg_radius=opt.bg_radius,
+        num_layers_bg=2,
+        hidden_dim_bg=opt.hidden_dim_bg,
+        compute_dtype="bfloat16" if opt.fp16 else "float32",
+    )
+    render_cfg = RenderConfig(
+        bound=opt.bound,
+        density_thresh=opt.density_thresh,
+        min_near=opt.min_near,
+        max_steps=opt.max_steps,
+        num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
+        dt_gamma=opt.dt_gamma,
+        density_scale=opt.density_scale,
+        bg_radius=opt.bg_radius,
+        samples_per_ray_budget=opt.samples_per_ray_budget,
+    )
+    train_cfg = TrainConfig(
+        lr=opt.lr,
+        iters=opt.iters,
+        warmup_steps=opt.warmup_steps,
+        warmup_factor=opt.warmup_factor,
+        sched_base=opt.sched_base,
+        sched_exp=opt.sched_exp,
+        num_rays=opt.num_rays,
+        ema_decay=opt.ema_decay,
+        wavelet_regularization=opt.wavelet_regularization if opt.triplane_wavelet else 0.0,
+        weighted_regularization=opt.weighted_regularization,
+        background_color=opt.background_color,
+        train_rand_bg=opt.train_rand_bg,
+        criterion="huber" if opt.huber_loss else "mse",
+        alpha_bce=opt.alpha_bce,
+        update_extra_interval=opt.update_extra_interval,
+        renderer="occgrid" if opt.cuda_ray else "dense",
+        eval_chunk=opt.max_ray_batch,
+        seed=opt.seed,
+    )
+    return nerf_cfg, render_cfg, train_cfg
+
+
+def save_triplane_pngs(params, out_dir, tag="plane"):
+    """Plane visualisation dumps (reference save_triplane, utils.py:1535-1661):
+    per plane, per channel-group, normalized PNGs of the reconstructed planes
+    and the learned wavelet coefficients."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, arr in params["encoder"].items():
+        if name == "base":
+            planes = np.asarray(arr)  # (3, C, h, w)
+            for p in range(3):
+                img = planes[p].mean(0)
+                img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+                cv2.imwrite(os.path.join(out_dir, f"{tag}_base_{p}.png"),
+                            (img * 255).astype(np.uint8))
+        elif name == "wavelets":
+            for lvl, coefs in arr.items():
+                c = np.abs(np.asarray(coefs)).mean(axis=(1, 2))  # (3, s, s)
+                for p in range(3):
+                    img = c[p] / (c[p].max() + 1e-9)
+                    cv2.imwrite(os.path.join(out_dir, f"{tag}_{lvl}_{p}.png"),
+                                (img * 255).astype(np.uint8))
+
+
+def write_video(path, frames, fps=25):
+    """mp4 via imageio-ffmpeg when available, cv2 otherwise; falls back to a
+    PNG sequence when no encoder exists in the environment."""
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=8, macro_block_size=1)
+        return
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        ok = vw.isOpened()
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+        if ok and os.path.getsize(path) > 0:
+            return
+    except Exception:
+        pass
+    seq_dir = os.path.splitext(path)[0] + "_frames"
+    os.makedirs(seq_dir, exist_ok=True)
+    import cv2
+
+    for i, f in enumerate(frames):
+        cv2.imwrite(os.path.join(seq_dir, f"{i:04d}.png"), f[..., ::-1])
+
+
+def run_stage(opt, stage_idx, prev_cfgs):
+    import jax
+
+    from .data.blender import load_blender
+    from .render.renderer import mark_untrained_grid
+    from .train.trainer import Trainer
+
+    nerf_cfg, render_cfg, train_cfg = build_configs(opt)
+    trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
+
+    scene = load_blender(opt.path, "train", downscale=opt.downscale,
+                         scale=opt.scale, offset=tuple(opt.offset))
+    ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
+    rng = jax.random.PRNGKey(opt.seed)
+    if stage_idx > 0 and os.path.exists(ckpt_path) and prev_cfgs is not None:
+        print(f"[stage {stage_idx}] growing from {ckpt_path}")
+        state = trainer.load_model_for_stage(ckpt_path, rng, prev_cfgs[0])
+    else:
+        grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
+        state = trainer.init_state(rng, density_grid=grid)
+
+    state = trainer.fit(state, scene, log_every=0 if opt.mute else 100)
+    trainer.save_checkpoint(state, ckpt_path)
+    trainer.save_checkpoint(state, os.path.join(opt.workspace, f"stage_{stage_idx}.pkl"))
+
+    if not opt.fast_training:
+        try:
+            val = load_blender(opt.path, "val", downscale=opt.downscale,
+                               scale=opt.scale, offset=tuple(opt.offset))
+            res = trainer.evaluate(state, val, use_ema=opt.test_with_ema,
+                                   tag=f"results_stage{stage_idx}")
+            print(f"[stage {stage_idx}] val PSNR={res['PSNR']:.3f} SSIM={res['SSIM']:.4f}")
+        except FileNotFoundError:
+            pass
+    return (nerf_cfg, render_cfg, train_cfg), trainer, state
+
+
+def run_test(opt):
+    import jax
+
+    from .data.blender import load_blender
+    from .train.trainer import Trainer
+
+    nerf_cfg, render_cfg, train_cfg = build_configs(opt)
+    trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
+    ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
+    state = trainer.load_checkpoint(ckpt_path)
+
+    if opt.save_planes:
+        save_triplane_pngs(state.params, os.path.join(opt.workspace, "planes"))
+        return
+
+    test = load_blender(opt.path, "test", downscale=opt.downscale,
+                        scale=opt.scale, offset=tuple(opt.offset))
+    res = trainer.evaluate(state, test, use_ema=opt.test_with_ema,
+                           save_dir=os.path.join(opt.workspace, "test_renders"),
+                           tag="results")
+    print(f"test PSNR={res['PSNR']:.3f} SSIM={res['SSIM']:.4f}")
+
+    # video (reference: imageio.mimwrite mp4 @25fps, utils.py:878-888)
+    frames = []
+    params = state.ema_params if opt.test_with_ema else state.params
+    for v in range(test.num_views):
+        img, _ = trainer.render_image(params, state.occ, test.poses[v],
+                                      test.intrinsics, test.H, test.W)
+        frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    write_video(os.path.join(opt.workspace, "test_video.mp4"), frames, fps=25)
+
+
+def run(opt):
+    assert opt.path is not None and os.path.exists(opt.path), opt.path
+    if opt.O:
+        opt.fp16 = True
+        opt.cuda_ray = True
+        opt.preload = True
+
+    opt_vars = vars(opt)
+    length = max(len(opt_vars[k]) for k in STAGE_KEYS)
+    for k in STAGE_KEYS:
+        assert len(opt_vars[k]) in (1, length), (k, opt_vars[k])
+
+    if opt.test:
+        o = copy.deepcopy(opt)
+        for k in STAGE_KEYS:
+            vars(o)[k] = opt_vars[k][-1]
+        run_test(o)
+        return
+
+    prev_cfgs = None
+    for i in range(length):
+        o = copy.deepcopy(opt)
+        for k in STAGE_KEYS:
+            vals = opt_vars[k]
+            vars(o)[k] = vals[i] if len(vals) == length else vals[0]
+        print(f"===== stage {i + 1}/{length}: res={o.triplane_resolution} "
+              f"levels={o.triplane_wavelet_levels} iters={o.iters} rays={o.num_rays}")
+        prev_cfgs, trainer, state = run_stage(o, i, prev_cfgs)
+
+
+def main():
+    run(get_params())
+
+
+if __name__ == "__main__":
+    main()

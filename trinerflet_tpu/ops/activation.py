@@ -22,11 +22,13 @@ def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
 
 def _fwd(x):
     x32 = x.astype(jnp.float32)
-    return jnp.exp(x32), x32
+    # zero-size marker carries the primal dtype so the cotangent matches it
+    return jnp.exp(x32), (x32, jnp.zeros((0,), x.dtype))
 
 
-def _bwd(x32, g):
-    return (g * jnp.exp(jnp.clip(x32, -15.0, 15.0)),)
+def _bwd(res, g):
+    x32, marker = res
+    return ((g * jnp.exp(jnp.clip(x32, -15.0, 15.0))).astype(marker.dtype),)
 
 
 trunc_exp.defvjp(_fwd, _bwd)

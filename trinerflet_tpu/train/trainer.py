@@ -111,12 +111,14 @@ class Trainer:
         render_cfg: R.RenderConfig,
         train_cfg: TrainConfig,
         workspace: Optional[str] = None,
+        mesh=None,
     ):
         self.nerf_cfg = nerf_cfg
         self.render_cfg = render_cfg
         self.cfg = train_cfg
         self.field = NeRFField(nerf_cfg)
         self.workspace = workspace
+        self.mesh = mesh  # jax.sharding.Mesh for multi-chip (see parallel/)
         if workspace:
             os.makedirs(workspace, exist_ok=True)
 
@@ -156,6 +158,16 @@ class Trainer:
         rays_o, rays_d, pixels = sample_ray_batch(
             k_batch, images, poses, intrinsics, cfg.num_rays
         )
+        if self.mesh is not None:
+            # shard the ray batch over the data axis; XLA inserts the gradient
+            # psum automatically (replaces the reference's DDP all_reduce)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharding import DATA_AXIS
+
+            dp = NamedSharding(self.mesh, P(DATA_AXIS))
+            rays_o = jax.lax.with_sharding_constraint(rays_o, dp)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, dp)
+            pixels = jax.lax.with_sharding_constraint(pixels, dp)
         if cfg.train_rand_bg:
             bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
         else:
@@ -166,6 +178,16 @@ class Trainer:
             gt = pixels
 
         planes = self.field.build_planes(params)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            # keep reconstructed planes channel-sharded over the model axis
+            # (the IDWT ladder is depthwise -> shards with zero halo exchange)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharding import MODEL_AXIS
+
+            cs = NamedSharding(self.mesh, P(None, None, None, MODEL_AXIS))
+            planes = {
+                k: jax.lax.with_sharding_constraint(v, cs) for k, v in planes.items()
+            }
 
         if cfg.renderer == "occgrid":
             def field_fn(xyzs, dirs):
