@@ -56,29 +56,29 @@ def main():
     # warm up until the occupancy grid reflects actual scene content so the
     # measured step carries a realistic marching/MLP workload (a fresh grid is
     # nearly empty -> artificially cheap steps)
-    warm = 200
+    warm = 120
     for i in range(warm):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(state)
         state, aux = trainer._train_step(state, images, poses, intr)
-    jax.block_until_ready(aux["loss"])
+    warm_loss = float(aux["loss"])  # device->host copy: the only reliable sync
+    # (block_until_ready on donated-state outputs returns early through the
+    #  axon relay; always force with a host transfer when timing)
 
-    steps = 100
-    samples = []
+    steps = 50
     t0 = time.perf_counter()
     for i in range(steps):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(state)
         state, aux = trainer._train_step(state, images, poses, intr)
-        samples.append(aux["num_samples"])
-    jax.block_until_ready(aux["loss"])
+    final_loss = float(aux["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = num_rays * steps / dt
-    mean_samples = float(np.mean([float(s) for s in samples]))
+    mean_samples = float(aux["num_samples"])
     print(f"# step time {dt / steps * 1e3:.2f} ms; "
-          f"mean samples/step {mean_samples:,.0f} "
-          f"({mean_samples / num_rays:.1f}/ray); loss {float(aux['loss']):.5f}",
+          f"samples/step {mean_samples:,.0f} "
+          f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)
     print(json.dumps({
         "metric": "train_rays_per_sec",

@@ -106,6 +106,26 @@ class TestOccgridPath:
         out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg, bg_color=0.0)
         assert np.isfinite(np.asarray(out["image"])).all()
 
+    def test_hierarchical_matches_flat_march(self):
+        """The two-level (coarse dilated + fine) march must reproduce the flat
+        candidate enumeration's render when budgets are generous."""
+        base = dict(bound=1.0, grid_size=64, num_steps=512, max_steps=512,
+                    samples_per_ray_budget=220, density_thresh=0.5,
+                    coarse_budget=48, fine_per_coarse=8)
+        cfg_flat = R.RenderConfig(**base, march="flat")
+        cfg_hier = R.RenderConfig(**base, march="hierarchical")
+        occ = self._occ_from_field(cfg_flat)
+        o, d = camera_rays(32)
+        flat = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_flat, bg_color=0.0)
+        hier = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_hier,
+                                bg_color=0.0, occ_coarse=occ.occ_coarse)
+        np.testing.assert_allclose(
+            np.asarray(hier["image"]), np.asarray(flat["image"]), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(hier["weights_sum"]), np.asarray(flat["weights_sum"]), atol=5e-3
+        )
+
     def test_gradients_through_render(self):
         cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=128,
                              samples_per_ray_budget=64, density_thresh=0.5)

@@ -67,5 +67,9 @@ def sample_planes(planes: jnp.ndarray, coords2d: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (N, P, C) features (concat over P gives the triplane feature vector).
     """
-    out = jax.vmap(grid_sample_2d)(planes, coords2d)  # (P, N, C)
+    # unrolled over the (small, static) plane axis: vmap would lower to a
+    # batched gather, which XLA TPU handles far worse than P flat gathers
+    out = jnp.stack(
+        [grid_sample_2d(planes[p], coords2d[p]) for p in range(planes.shape[0])]
+    )  # (P, N, C)
     return jnp.transpose(out, (1, 0, 2))

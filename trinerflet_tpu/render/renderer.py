@@ -54,8 +54,17 @@ class RenderConfig:
     density_scale: float = 1.0
     bg_radius: float = -1.0
     # occgrid static shape budgets
-    samples_per_ray_budget: int = 24   # M = num_rays * this (compaction buffer)
+    samples_per_ray_budget: int = 24   # compaction buffer per ray
     candidates_override: int = 0       # 0 -> ceil(bound * max_steps)
+    # "per_ray": dense (N, B) layout, masked cumprod compositing (fastest);
+    # "global": shared [N*B] buffer with segmented compositing (no padding
+    # waste when sample counts are highly skewed across rays)
+    compaction: str = "per_ray"
+    # hierarchical march (two-level occupancy test; requires dt_gamma == 0 and
+    # an occ_coarse grid) vs flat candidate enumeration
+    march: str = "hierarchical"
+    fine_per_coarse: int = 12
+    coarse_budget: int = 8
 
     @property
     def cascades(self) -> int:
@@ -76,6 +85,8 @@ class RenderConfig:
 class OccupancyState(NamedTuple):
     density_grid: jnp.ndarray   # (CAS, H^3) float32; -1 marks untrained cells
     occ: jnp.ndarray            # (CAS, H, H, H) bool
+    occ_coarse: jnp.ndarray     # (CAS, H, H, H) bool, 3^3-dilated occ (for the
+                                # hierarchical march's conservative coarse test)
     mean_density: jnp.ndarray   # () float32
     iter_density: jnp.ndarray   # () int32
 
@@ -85,9 +96,22 @@ def init_occupancy(cfg: RenderConfig) -> OccupancyState:
     return OccupancyState(
         density_grid=jnp.zeros((C, H**3), jnp.float32),
         occ=jnp.zeros((C, H, H, H), bool),
+        occ_coarse=jnp.zeros((C, H, H, H), bool),
         mean_density=jnp.zeros((), jnp.float32),
         iter_density=jnp.zeros((), jnp.int32),
     )
+
+
+def _dilate3(occ: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 max-pool (stride 1, same) of a (CAS, H, H, H) bool grid."""
+    x = occ.astype(jnp.float32)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 3),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+    return x > 0.5
 
 
 def _grid_coords(H: int) -> np.ndarray:
@@ -167,6 +191,7 @@ def update_density_grid(
     return OccupancyState(
         density_grid=new_grid,
         occ=occ,
+        occ_coarse=_dilate3(occ),
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
     )
@@ -286,6 +311,7 @@ def render_occgrid(
     bg_fn=None,
     perturb: bool = False,
     max_steps: Optional[int] = None,
+    occ_coarse: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """March + compact + field + composite (one path for train and eval)."""
     N = rays_o.shape[0]
@@ -301,21 +327,71 @@ def render_occgrid(
         noise = jnp.zeros((N,))
 
     steps = max_steps or cfg.max_steps
-    n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
-    march = RM.march_candidates(
-        rays_o, rays_d, nears_c, fars_c, occ, noise,
-        num_steps=n_cand, max_steps=steps, grid_size=cfg.grid_size,
-        cascades=cfg.cascades, bound=cfg.bound, dt_gamma=cfg.dt_gamma,
+    B = cfg.samples_per_ray_budget
+    hierarchical = (
+        cfg.march == "hierarchical"
+        and cfg.dt_gamma == 0.0
+        and occ_coarse is not None
+        and cfg.compaction == "per_ray"
     )
-    m_budget = N * cfg.samples_per_ray_budget
-    comp = RM.compact_samples(rays_o, rays_d, march, m_budget=m_budget, bound=cfg.bound)
-    sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
-    ws, depth, image = RM.composite_compact(
-        cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
-    )
+    if hierarchical:
+        F = cfg.fine_per_coarse
+        num_coarse = int(math.ceil(cfg.bound * steps / F))
+        t, dt_scalar, mask = RM.march_hierarchical(
+            rays_o, rays_d, nears_c, fars_c, occ, occ_coarse, noise,
+            num_coarse=num_coarse, fine_per_coarse=F,
+            coarse_budget=cfg.coarse_budget, budget=B, max_steps=steps,
+            grid_size=cfg.grid_size, cascades=cfg.cascades, bound=cfg.bound,
+            dt_gamma=0.0,
+        )
+        dt = jnp.where(mask, dt_scalar, 0.0)
+        t0 = nears_c + dt_scalar * noise
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        pts = jnp.clip(pts, -cfg.bound, cfg.bound)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+        sigmas, rgbs = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
+        sigmas = sigmas.reshape(N, B)
+        rgbs = rgbs.reshape(N, B, 3)
+        ts_rel = jnp.where(mask, t + dt - t0[:, None], 0.0)
+        ws, depth_raw, image = RM.composite_dense(
+            cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
+            t_thresh=cfg.t_thresh,
+        )
+        num_samples = mask.sum()
+    else:
+        n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
+        march = RM.march_candidates(
+            rays_o, rays_d, nears_c, fars_c, occ, noise,
+            num_steps=n_cand, max_steps=steps, grid_size=cfg.grid_size,
+            cascades=cfg.cascades, bound=cfg.bound, dt_gamma=cfg.dt_gamma,
+        )
+        if cfg.compaction == "per_ray":
+            k_idx, mask = RM.compact_per_ray(march, B)
+            t = jnp.take_along_axis(march.ts, k_idx, axis=1)     # (N, B)
+            dt = jnp.take_along_axis(march.dts, k_idx, axis=1)
+            dt = jnp.where(mask, dt, 0.0)
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+            pts = jnp.clip(pts, -cfg.bound, cfg.bound)
+            dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+            sigmas, rgbs = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
+            sigmas = sigmas.reshape(N, B)
+            rgbs = rgbs.reshape(N, B, 3)
+            ts_rel = jnp.where(mask, t + dt - march.ts[:, 0:1], 0.0)
+            ws, depth_raw, image = RM.composite_dense(
+                cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
+                t_thresh=cfg.t_thresh,
+            )
+            num_samples = mask.sum()
+        else:
+            comp = RM.compact_samples(rays_o, rays_d, march, m_budget=N * B, bound=cfg.bound)
+            sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
+            ws, depth_raw, image = RM.composite_compact(
+                cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
+            )
+            num_samples = comp.num_valid
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
-    depth = jnp.clip(depth - nears, min=0.0) / span
+    depth = jnp.clip(depth_raw - nears, min=0.0) / span
     return {"image": image, "depth": depth, "weights_sum": ws,
-            "num_samples": comp.num_valid}
+            "num_samples": num_samples}

@@ -196,6 +196,7 @@ class Trainer:
             out = R.render_occgrid(
                 field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
                 rng=k_perturb, bg_color=bg, perturb=True,
+                occ_coarse=occ.occ_coarse,
             )
         else:
             out = R.render_dense(
@@ -272,7 +273,7 @@ class Trainer:
 
             return R.render_occgrid(
                 field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
-                bg_color=bg_color, perturb=False,
+                bg_color=bg_color, perturb=False, occ_coarse=occ.occ_coarse,
             )
         return R.render_dense(
             lambda x: self.field.density(params, planes, x),
@@ -401,9 +402,8 @@ class Trainer:
         # rebuild occupancy bits from the loaded grid
         H, C = self.render_cfg.grid_size, self.render_cfg.cascades
         thresh = min(payload["mean_density"], self.render_cfg.density_thresh)
-        occ = occ._replace(
-            occ=jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
-        )
+        occ_bits = jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
+        occ = occ._replace(occ=occ_bits, occ_coarse=R._dilate3(occ_bits))
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         state = state._replace(
             params=to_dev(payload["params"]),
