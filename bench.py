@@ -49,9 +49,7 @@ def main():
     grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
     state = trainer.init_state(density_grid=grid)
 
-    images = jnp.asarray(scene.images)
-    poses = jnp.asarray(scene.poses)
-    intr = jnp.asarray(scene.intrinsics, jnp.float32)
+    data = trainer.scene_to_device(scene)
 
     # warm up until the occupancy grid reflects actual scene content so the
     # measured step carries a realistic marching/MLP workload (a fresh grid is
@@ -60,7 +58,7 @@ def main():
     for i in range(warm):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(state)
-        state, aux = trainer._train_step(state, images, poses, intr)
+        state, aux = trainer._train_step(state, data)
     warm_loss = float(aux["loss"])  # device->host copy: the only reliable sync
     # (block_until_ready on donated-state outputs returns early through the
     #  axon relay; always force with a host transfer when timing)
@@ -70,7 +68,7 @@ def main():
     for i in range(steps):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(state)
-        state, aux = trainer._train_step(state, images, poses, intr)
+        state, aux = trainer._train_step(state, data)
     final_loss = float(aux["loss"])
     dt = time.perf_counter() - t0
 

@@ -63,14 +63,12 @@ class TestShardedTraining:
         shardings = state_shardings(mesh, s_par)
         s_par = jax.device_put(s_par, shardings)
 
-        images = jnp.asarray(scene.images)
-        poses = jnp.asarray(scene.poses)
-        intr = jnp.asarray(scene.intrinsics, jnp.float32)
+        data = ref.scene_to_device(scene)
 
         losses_ref, losses_par = [], []
         for _ in range(3):
-            s_ref, aux_r = ref._train_step(s_ref, images, poses, intr)
-            s_par, aux_p = par._train_step(s_par, images, poses, intr)
+            s_ref, aux_r = ref._train_step(s_ref, data)
+            s_par, aux_p = par._train_step(s_par, data)
             losses_ref.append(float(aux_r["loss"]))
             losses_par.append(float(aux_p["loss"]))
         np.testing.assert_allclose(losses_par, losses_ref, rtol=2e-3, atol=1e-5)

@@ -156,3 +156,17 @@ class TestMetrics:
         a = rng.random((48, 48, 3))
         assert ssim(a, a) > 0.999
         assert ssim(a, rng.random((48, 48, 3))) < 0.2
+
+
+class TestErrorMap:
+    def test_error_map_training(self):
+        """Error-guided sampling must run and update the map."""
+        import jax.numpy as jnp
+        scene = make_synthetic_scene(num_views=4, H=48, W=48, num_steps=64)
+        trainer = tiny_setup(iters=25, error_map=True)
+        state = trainer.init_state()
+        state = trainer.fit(state, scene, log_every=0)
+        em = np.asarray(state.error_map)
+        assert em.shape == (4, 128 * 128)
+        assert not np.allclose(em, 1.0)  # updated away from init
+        assert (em >= 0).all()

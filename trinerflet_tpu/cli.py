@@ -65,6 +65,8 @@ def get_params(argv=None):
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--background_color", type=float, default=0)
     parser.add_argument("--train_rand_bg", action="store_true")
+    parser.add_argument("--error_map", action="store_true",
+                        help="error-guided ray sampling")
     parser.add_argument("--triplane_channels", type=int, default=16)
     parser.add_argument("--triplane_resolution", type=int, nargs="+", default=[2048])
     parser.add_argument("--triplane_wavelet_levels", type=int, nargs="+", default=[128])
@@ -163,6 +165,7 @@ def build_configs(opt):
         train_rand_bg=opt.train_rand_bg,
         criterion="huber" if opt.huber_loss else "mse",
         alpha_bce=opt.alpha_bce,
+        error_map=opt.error_map,
         update_extra_interval=opt.update_extra_interval,
         renderer="occgrid" if opt.cuda_ray else "dense",
         eval_chunk=opt.max_ray_batch,
@@ -284,6 +287,13 @@ def run_test(opt):
                            save_dir=os.path.join(opt.workspace, "test_renders"),
                            tag="results")
     print(f"test PSNR={res['PSNR']:.3f} SSIM={res['SSIM']:.4f}")
+
+    # mesh export (reference main_nerf.py:112: save_mesh(resolution=256, threshold=10))
+    try:
+        trainer.save_mesh(state, os.path.join(opt.workspace, "mesh.obj"),
+                          resolution=192, threshold=10.0)
+    except Exception as e:
+        print(f"mesh export failed: {e}")
 
     # video (reference: imageio.mimwrite mp4 @25fps, utils.py:878-888)
     frames = []

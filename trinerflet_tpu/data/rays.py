@@ -69,3 +69,65 @@ def sample_ray_batch(
     rays_o, rays_d = rays_for_pixels(poses, intrinsics, W, img_idx, pix_idx)
     pixels = images.reshape(V, H * W, -1)[img_idx, pix_idx]
     return rays_o, rays_d, pixels
+
+
+def sample_ray_batch_error_map(
+    rng: jax.Array,
+    images: jnp.ndarray,       # (V, H, W, C)
+    poses: jnp.ndarray,
+    intrinsics,
+    num_rays: int,
+    error_map: jnp.ndarray,    # (V, 128*128) nonnegative sampling weights
+):
+    """Error-weighted ray sampling (reference get_rays error_map branch,
+    utils.py:110-125): draw coarse 128x128 cells proportional to the running
+    per-cell training error, jitter to a full-res pixel, and return the coarse
+    cell ids so the caller can EMA-update the map.
+    """
+    V, H, W = images.shape[:3]
+    G = 128
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    img_idx = jax.random.randint(k1, (num_rays,), 0, V)
+    # inverse-CDF draw per ray on its view's error map (flat binary search;
+    # batched searchsorted lowers poorly on TPU)
+    cdf = jnp.cumsum(error_map, axis=1)
+    total = cdf[:, -1]
+    u = jax.random.uniform(k2, (num_rays,)) * jnp.take(total, img_idx)
+    flat_cdf = cdf.reshape(-1)
+    base = img_idx * (G * G)
+    lo = jnp.zeros((num_rays,), jnp.int32)
+    hi = jnp.full((num_rays,), G * G, jnp.int32)
+    for _ in range(14):  # ceil(log2(16384))
+        mid = (lo + hi) // 2
+        val = jnp.take(flat_cdf, base + jnp.minimum(mid, G * G - 1))
+        go_right = val < u
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    cell = jnp.minimum(lo, G * G - 1)
+    cx = cell // G
+    cy = cell % G
+    sx, sy = H / G, W / G
+    jx = jax.random.uniform(k3, (num_rays,))
+    jy = jax.random.uniform(k4, (num_rays,))
+    ix = jnp.clip((cx * sx + jx * sx).astype(jnp.int32), 0, H - 1)
+    iy = jnp.clip((cy * sy + jy * sy).astype(jnp.int32), 0, W - 1)
+    pix_idx = ix * W + iy
+    rays_o, rays_d = rays_for_pixels(poses, intrinsics, W, img_idx, pix_idx)
+    pixels = images.reshape(V, H * W, -1)[img_idx, pix_idx]
+    return rays_o, rays_d, pixels, (img_idx, cell)
+
+
+def sample_ray_batch_pregen(
+    rng: jax.Array,
+    images: jnp.ndarray,       # (V, H, W, C)
+    rays_o: jnp.ndarray,       # (V, H, W, 3) precomputed (e.g. LLFF NDC rays)
+    rays_d: jnp.ndarray,       # (V, H, W, 3)
+    num_rays: int,
+):
+    """Sample a batch from precomputed per-view ray grids (LLFF/NDC path)."""
+    V, H, W = images.shape[:3]
+    k1, k2 = jax.random.split(rng)
+    img_idx = jax.random.randint(k1, (num_rays,), 0, V)
+    pix_idx = jax.random.randint(k2, (num_rays,), 0, H * W)
+    flat = lambda a: a.reshape(V, H * W, -1)[img_idx, pix_idx]
+    return flat(rays_o), flat(rays_d), flat(images)

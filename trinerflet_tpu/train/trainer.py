@@ -35,7 +35,12 @@ import numpy as np
 import optax
 
 from ..data.blender import SceneData
-from ..data.rays import sample_ray_batch, rays_full_image
+from ..data.rays import (
+    sample_ray_batch,
+    sample_ray_batch_error_map,
+    sample_ray_batch_pregen,
+    rays_full_image,
+)
 from ..models.nerf import NeRFConfig, NeRFField, init_nerf_params
 from ..models.triplane import wavelet_l1, grow_params
 from ..render import renderer as R
@@ -63,6 +68,7 @@ class TrainConfig:
     alpha_bce: float = 0.0
     update_extra_interval: int = 16
     renderer: str = "occgrid"        # "occgrid" | "dense"
+    error_map: bool = False          # error-guided ray sampling (--error_map)
     eval_chunk: int = 16384
     seed: int = 0
 
@@ -75,6 +81,7 @@ class TrainState(NamedTuple):
     occ: R.OccupancyState
     step: jnp.ndarray         # () int32
     rng: jax.Array
+    error_map: Any = None     # (V, 128*128) sampling weights when enabled
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -152,12 +159,23 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
-    def _loss_fn(self, params, occ, rng, images, poses, intrinsics):
+    def _loss_fn(self, params, occ, rng, data, error_map):
         cfg = self.cfg
         k_batch, k_bg, k_perturb = jax.random.split(rng, 3)
-        rays_o, rays_d, pixels = sample_ray_batch(
-            k_batch, images, poses, intrinsics, cfg.num_rays
-        )
+        err_info = None
+        if "rays_o" in data:  # pregenerated ray grids (LLFF/NDC)
+            rays_o, rays_d, pixels = sample_ray_batch_pregen(
+                k_batch, data["images"], data["rays_o"], data["rays_d"], cfg.num_rays
+            )
+        elif cfg.error_map and error_map is not None:
+            rays_o, rays_d, pixels, err_info = sample_ray_batch_error_map(
+                k_batch, data["images"], data["poses"], data["intrinsics"],
+                cfg.num_rays, error_map,
+            )
+        else:
+            rays_o, rays_d, pixels = sample_ray_batch(
+                k_batch, data["images"], data["poses"], data["intrinsics"], cfg.num_rays
+            )
         if self.mesh is not None:
             # shard the ray batch over the data axis; XLA inserts the gradient
             # psum automatically (replaces the reference's DDP all_reduce)
@@ -220,12 +238,20 @@ class Trainer:
             loss = loss + (-cfg.alpha_bce * jnp.log(alpha).mean())
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
+        if err_info is not None:
+            # EMA update of the coarse error map (reference utils.py:615-637)
+            img_idx, cell_idx = err_info
+            err = jax.lax.stop_gradient(loss_pix)
+            flat = img_idx * error_map.shape[1] + cell_idx
+            old = jnp.take(error_map.reshape(-1), flat)
+            new_map = error_map.reshape(-1).at[flat].set(0.1 * old + 0.9 * err)
+            aux["_new_error_map"] = new_map.reshape(error_map.shape)
         return loss, aux
 
-    def _train_step_impl(self, state: TrainState, images, poses, intrinsics):
+    def _train_step_impl(self, state: TrainState, data):
         rng, k = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, state.occ, k, images, poses, intrinsics
+            state.params, state.occ, k, data, state.error_map
         )
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -240,6 +266,7 @@ class Trainer:
             n = state.ema_count
             ema = state.ema_params  # unused when EMA disabled
 
+        new_error_map = aux.pop("_new_error_map", state.error_map)
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
@@ -248,6 +275,7 @@ class Trainer:
             occ=state.occ,
             step=state.step + 1,
             rng=rng,
+            error_map=new_error_map,
         )
         aux["loss"] = loss
         return new_state, aux
@@ -281,12 +309,23 @@ class Trainer:
             rays_o, rays_d, self.render_cfg, bg_color=bg_color, perturb=False,
         )
 
+    def render_rays(self, params, occ, rays_o, rays_d, H, W, bg_color=None):
+        """Full-frame render of precomputed rays in eval chunks."""
+        if bg_color is None:
+            bg_color = self.cfg.background_color
+        return self._render_chunked(params, occ, rays_o, rays_d, H, W, bg_color)
+
     def render_image(self, params, occ, pose, intrinsics, H, W, bg_color=None):
         """Full-frame render in eval chunks (reference staged render,
         renderer.py:545-577). Returns (image (H, W, 3), depth (H, W))."""
         if bg_color is None:
             bg_color = self.cfg.background_color
         rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
+        return self._render_chunked(params, occ, rays_o, rays_d, H, W, bg_color)
+
+    def _render_chunked(self, params, occ, rays_o, rays_d, H, W, bg_color):
+        rays_o = np.asarray(rays_o).reshape(-1, 3)
+        rays_d = np.asarray(rays_d).reshape(-1, 3)
         n = H * W
         chunk = self.cfg.eval_chunk
         imgs, deps = [], []
@@ -312,11 +351,29 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, state: TrainState, scene: SceneData, log_every: int = 100, callback=None):
-        """Run cfg.iters training steps. Returns the final state."""
-        images = jnp.asarray(scene.images)
-        poses = jnp.asarray(scene.poses)
-        intr = jnp.asarray(scene.intrinsics, jnp.float32)
+    @staticmethod
+    def scene_to_device(scene) -> Dict:
+        if hasattr(scene, "rays_o") and getattr(scene, "rays_o", None) is not None:
+            return {
+                "images": jnp.asarray(scene.images),
+                "rays_o": jnp.asarray(scene.rays_o),
+                "rays_d": jnp.asarray(scene.rays_d),
+            }
+        return {
+            "images": jnp.asarray(scene.images),
+            "poses": jnp.asarray(scene.poses),
+            "intrinsics": jnp.asarray(scene.intrinsics, jnp.float32),
+        }
+
+    def fit(self, state: TrainState, scene, log_every: int = 100, callback=None):
+        """Run cfg.iters training steps. Accepts SceneData (pinhole) or any
+        scene with precomputed per-view rays (rays_o/rays_d attrs, e.g. LLFF).
+        Returns the final state."""
+        data = self.scene_to_device(scene)
+        if self.cfg.error_map and state.error_map is None and "poses" in data:
+            state = state._replace(
+                error_map=jnp.ones((data["images"].shape[0], 128 * 128), jnp.float32)
+            )
         total = self.cfg.iters + max(self.cfg.warmup_steps, 0)
         t0 = time.time()
         for it in range(total):
@@ -325,7 +382,7 @@ class Trainer:
                 and int(state.step) % self.cfg.update_extra_interval == 0
             ):
                 state = self._update_grid(state)
-            state, aux = self._train_step(state, images, poses, intr)
+            state, aux = self._train_step(state, data)
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
                 dt = time.time() - t0
@@ -351,9 +408,14 @@ class Trainer:
         psnr_m, ssim_m = PSNRMeter(), SSIMMeter()
         per_image = []
         for v in range(scene.num_views):
-            img, _ = self.render_image(
-                params, state.occ, scene.poses[v], scene.intrinsics, scene.H, scene.W
-            )
+            if hasattr(scene, "rays_o") and getattr(scene, "rays_o", None) is not None:
+                img, _ = self.render_rays(
+                    params, state.occ, scene.rays_o[v], scene.rays_d[v], scene.H, scene.W
+                )
+            else:
+                img, _ = self.render_image(
+                    params, state.occ, scene.poses[v], scene.intrinsics, scene.H, scene.W
+                )
             gt = scene.images[v]
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + self.cfg.background_color * (1 - gt[..., 3:])
@@ -371,6 +433,29 @@ class Trainer:
             with open(os.path.join(self.workspace, f"{tag}.json"), "w") as f:
                 json.dump(results, f, indent=2)
         return results
+
+    def save_mesh(self, state: TrainState, path: str, resolution: int = 256,
+                  threshold: float = 10.0):
+        """Density iso-surface -> OBJ (reference Trainer.save_mesh,
+        utils.py:738-758; marching tetrahedra instead of mcubes)."""
+        from ..ops.meshing import extract_mesh, write_obj
+
+        params = state.params
+        planes = jax.jit(self.field.build_planes)(params)
+
+        @jax.jit
+        def density_fn(pts):
+            sigma, _ = self.field.density(params, planes, pts)
+            return sigma
+
+        verts, faces = extract_mesh(
+            lambda p: density_fn(jnp.asarray(p)),
+            bound=self.nerf_cfg.bound,
+            resolution=resolution,
+            threshold=threshold,
+        )
+        write_obj(path, verts, faces)
+        return verts, faces
 
     # ----------------------------------------------------------- checkpoints
 
