@@ -1,0 +1,198 @@
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trinerflet_tpu.sr.config import C, parse_structured, apply_overrides
+from trinerflet_tpu.sr.guidance import (
+    DiffusionSchedule, GuidanceConfig, UpscalerGuidance, OracleDenoiser,
+    make_oracle_guidance, make_resize_guidance,
+)
+from trinerflet_tpu.sr.data import make_synthetic_sr_scene
+from trinerflet_tpu.sr.system import SRConfig, SRSystem
+from trinerflet_tpu.models.nerf import NeRFConfig
+from trinerflet_tpu.models.triplane import TriplaneConfig
+from trinerflet_tpu.render.renderer import RenderConfig
+
+
+class TestScheduledScalars:
+    def test_constant(self):
+        assert C(0.5, 100) == 0.5
+
+    def test_linear_interp(self):
+        sched = [100, 0.0, 1.0, 200]
+        assert C(sched, 50) == 0.0
+        assert C(sched, 150) == 0.5
+        assert C(sched, 300) == 1.0
+
+    def test_three_element_form(self):
+        assert C([0.2, 0.8, 100], 50) == pytest.approx(0.5)
+
+
+class TestConfigParsing:
+    def test_parse_and_override(self):
+        cfg = {"sr_start_step": 5, "lambda_l1_hr": [0, 0.0, 1.0, 10]}
+        cfg = apply_overrides(cfg, ["sr_start_step=7", "lr=0.02"])
+        parsed = parse_structured(SRConfig, cfg)
+        assert parsed.sr_start_step == 7
+        assert parsed.lr == 0.02
+        assert C(parsed.lambda_l1_hr, 5) == 0.5
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError, match="unknown config keys"):
+            parse_structured(SRConfig, {"nope": 1})
+
+
+class TestDiffusionSchedule:
+    def test_add_noise_limits(self):
+        sch = DiffusionSchedule(1000)
+        x = jnp.ones((1, 4, 4, 3))
+        n = jnp.zeros_like(x)
+        np.testing.assert_allclose(np.asarray(sch.add_noise(x, n, 0)), 1.0, atol=1e-2)
+        assert float(sch.alphas_cumprod[-1]) < 0.01  # nearly pure noise at T
+
+    def test_ddim_timesteps_descending(self):
+        sch = DiffusionSchedule(1000)
+        ts = np.asarray(sch.ddim_timesteps(50))
+        assert len(ts) == 50 and (np.diff(ts) < 0).all()
+
+    def test_oracle_denoiser_one_step_recovery(self):
+        """With the oracle denoiser, pred_x0 equals the target at any t."""
+        sch = DiffusionSchedule(1000)
+        rng = jax.random.PRNGKey(0)
+        target = jax.random.uniform(rng, (1, 8, 8, 3)) * 2 - 1
+        den = OracleDenoiser(target, sch)
+        x = jax.random.normal(jax.random.PRNGKey(1), target.shape)
+        eps = den(x, jnp.asarray(500), jnp.asarray(20), True)
+        _, pred_x0 = sch.ddim_step(eps, 500, 480, x)
+        np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(target), atol=1e-4)
+
+
+class TestGenerateSR:
+    def test_oracle_sdedit_recovers_target(self):
+        """The full SDEdit tail with the oracle denoiser must return the
+        target image regardless of the sampled refinement depth."""
+        rng = jax.random.PRNGKey(0)
+        target = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+        cfg = GuidanceConfig(num_inference_steps=20, guidance_scale=1.0)
+        g = make_oracle_guidance(cfg, target)
+        lr_img = jax.image.resize(target, (1, 4, 4, 3), "bilinear")
+        hr_render = jnp.zeros_like(target) + 0.5
+        for ignore_t in (100, 500, 900):
+            out = g.generate_sr(rng, lr_img, hr_render, ignore_t=ignore_t)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=5e-2)
+
+    def test_cfg_branches_run(self):
+        target = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 8, 3))
+        for kw in (dict(guidance_scale=7.5),
+                   dict(guidance_scale=7.5, guidance_scale_sr=5.0)):
+            cfg = GuidanceConfig(num_inference_steps=8, **kw)
+            g = make_oracle_guidance(cfg, target)
+            out = g.generate_sr(jax.random.PRNGKey(0),
+                                jax.image.resize(target, (1, 2, 2, 3), "bilinear"),
+                                jnp.zeros_like(target), ignore_t=500)
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_max_step_anneal(self):
+        cfg = GuidanceConfig(sr_start_step=100, anneal_end_step=200,
+                             max_step_percent=0.98, max_step_percent_final=0.5)
+        g = UpscalerGuidance(cfg, lambda *a: None)
+        assert g.step_bounds(100)[1] == 980
+        assert g.step_bounds(200)[1] == 500
+        assert g.step_bounds(150)[1] == 740
+
+    def test_sds_loss_gradient(self):
+        target = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 8, 3))
+        cfg = GuidanceConfig(num_inference_steps=8, guidance_scale=1.0)
+        g = make_oracle_guidance(cfg, target)
+
+        def loss(img):
+            return g.sds_loss(jax.random.PRNGKey(0), target[:, ::4, ::4], img)
+
+        grad = jax.grad(loss)(jnp.zeros_like(target) + 0.5)
+        assert np.isfinite(np.asarray(grad)).all()
+        assert float(jnp.abs(grad).sum()) > 0
+
+
+class TestSRSystem:
+    def _setup(self, scene, **cfg_kw):
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=8, resolution=128, wavelet_scale=4,
+                                    low_res_scale=4),
+            bound=1.0, hidden_dim=32, hidden_dim_color=32,
+        )
+        render_cfg = RenderConfig(bound=1.0, grid_size=32, density_thresh=1.0,
+                                  max_steps=256, samples_per_ray_budget=32)
+        defaults = dict(total_steps=220, sr_start_step=120,
+                        hr_fit_refresh_every=100, num_rays_lr=1024,
+                        crop_size_lr=16, wavelet_regularization=0.01,
+                        eval_chunk=4096)
+        defaults.update(cfg_kw)
+        cfg = SRConfig(**defaults)
+        guidance = make_oracle_guidance(
+            GuidanceConfig(num_inference_steps=10, guidance_scale=1.0),
+            jnp.asarray(scene.hr.images[:1, ..., :3]),
+        )
+
+        # per-view oracle: wrap so each refresh targets the right view
+        class PerViewOracle:
+            def __init__(self, hr_images):
+                self.hr = jnp.asarray(hr_images[..., :3])
+
+            def generate_sr(self, rng, lr_img, hr_render, step=0, ignore_t=None):
+                # match the view by nearest LR image (test-only convenience)
+                lr_all = jax.image.resize(
+                    self.hr, (self.hr.shape[0],) + lr_img.shape[1:], "bilinear"
+                )
+                d = jnp.mean((lr_all - lr_img) ** 2, axis=(1, 2, 3))
+                v = jnp.argmin(d)
+                g = make_oracle_guidance(
+                    GuidanceConfig(num_inference_steps=10, guidance_scale=1.0),
+                    self.hr[v][None],
+                )
+                return g.generate_sr(rng, lr_img, hr_render, step=step, ignore_t=500)
+
+        return SRSystem(nerf_cfg, render_cfg, cfg, PerViewOracle(scene.hr.images))
+
+    @pytest.fixture(scope="class")
+    def scene(self):
+        return make_synthetic_sr_scene(num_views=6, lr_size=16, scale=4)
+
+    def test_two_phase_training_improves_hr(self, scene, tmp_path):
+        """With the oracle upscaler (pseudo-GT == true HR), phase 2 must lift
+        HR quality above the bilinear baseline trajectory."""
+        sys = self._setup(scene)
+        sys.workspace = str(tmp_path)
+        state = sys.init_state()
+        phases = []
+        state = sys.fit(state, scene, log_every=0,
+                        callback=lambda s, a: phases.append(
+                            "l2_hr" in a))
+        assert not phases[0] and phases[-1]  # phase switch happened
+        res = sys.evaluate(state, scene)
+        assert np.isfinite(res["PSNR_hr"])
+        assert res["PSNR_lr"] > 12.0, res
+        files = [f for f in os.listdir(str(tmp_path)) if f.startswith("final_results")]
+        assert files
+
+    def test_planes_only_masking(self, scene):
+        sys = self._setup(scene, sr_planes_only=True, sr_min_res=64,
+                          total_steps=5, sr_start_step=0)
+        state = sys.init_state()
+        mlp_before = np.asarray(state.params["sigma_net"]["w0"]).copy()
+        base_before = np.asarray(state.params["encoder"]["base"]).copy()
+        state = sys.fit(state, scene, log_every=0)
+        np.testing.assert_array_equal(
+            np.asarray(state.params["sigma_net"]["w0"]), mlp_before
+        )
+        np.testing.assert_array_equal(  # base (32 < 64) frozen too
+            np.asarray(state.params["encoder"]["base"]), base_before
+        )
+
+    def test_resize_guidance_fallback(self, scene):
+        g = make_resize_guidance(GuidanceConfig())
+        out = g.generate_sr(jax.random.PRNGKey(0),
+                            jnp.asarray(scene.lr.images[:1, ..., :3]),
+                            jnp.asarray(scene.hr.images[:1, ..., :3]) * 0 + 0.5)
+        assert out.shape == (1, scene.hr.H, scene.hr.W, 3)
