@@ -31,7 +31,13 @@ __all__ = ["NeRFConfig", "init_nerf_params", "NeRFField"]
 
 @dataclasses.dataclass(frozen=True)
 class NeRFConfig:
+    # spatial encoding: "triplane_wavelet" (default), "hashgrid", "tiledgrid",
+    # "frequency", "k_planes", "multiscale_k_planes[_mul]"
+    # (factory parity with reference encoding.py:get_encoder)
+    encoding: str = "triplane_wavelet"
     triplane: TriplaneConfig = dataclasses.field(default_factory=TriplaneConfig)
+    grid: Optional[object] = None       # GridEncoderConfig override
+    kplanes: Optional[object] = None    # KPlanesConfig override
     num_layers: int = 2
     hidden_dim: int = 64
     geo_feat_dim: int = 15
@@ -49,7 +55,16 @@ class NeRFConfig:
 
     @property
     def in_dim(self) -> int:
-        return self.triplane.feature_dim
+        if self.encoding == "triplane_wavelet":
+            return self.triplane.feature_dim
+        from .encodings import get_encoder
+        import jax as _jax
+
+        _, _, dim = get_encoder(
+            self.encoding, _jax.random.PRNGKey(0), grid_cfg=self.grid,
+            kplanes_cfg=self.kplanes, bound=self.bound,
+        )
+        return dim
 
     @property
     def in_dim_dir(self) -> int:
@@ -72,6 +87,13 @@ def _init_mlp(rng: jax.Array, dims) -> Dict[str, jnp.ndarray]:
 
 def init_nerf_params(rng: jax.Array, cfg: NeRFConfig) -> Dict:
     k_enc, k_sig, k_col, k_bg = jax.random.split(rng, 4)
+    if cfg.encoding != "triplane_wavelet":
+        from .encodings import get_encoder
+
+        enc_params, _, _ = get_encoder(
+            cfg.encoding, k_enc, grid_cfg=cfg.grid, kplanes_cfg=cfg.kplanes,
+            bound=cfg.bound,
+        )
     sigma_dims = (
         [cfg.in_dim]
         + [cfg.hidden_dim] * (cfg.num_layers - 1)
@@ -83,7 +105,11 @@ def init_nerf_params(rng: jax.Array, cfg: NeRFConfig) -> Dict:
         + [3]
     )
     params = {
-        "encoder": init_triplane_params(k_enc, cfg.triplane),
+        "encoder": (
+            init_triplane_params(k_enc, cfg.triplane)
+            if cfg.encoding == "triplane_wavelet"
+            else enc_params
+        ),
         "sigma_net": _init_mlp(k_sig, sigma_dims),
         "color_net": _init_mlp(k_col, color_dims),
     }
@@ -116,8 +142,19 @@ class NeRFField:
     def __init__(self, cfg: NeRFConfig):
         self.cfg = cfg
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if cfg.encoding != "triplane_wavelet":
+            from .encodings import get_encoder
+
+            _, self._enc_apply, _ = get_encoder(
+                cfg.encoding, jax.random.PRNGKey(0), grid_cfg=cfg.grid,
+                kplanes_cfg=cfg.kplanes, bound=cfg.bound,
+            )
+        else:
+            self._enc_apply = None
 
     def build_planes(self, params: Dict, max_resolution: int = -1) -> Dict[str, jnp.ndarray]:
+        if self.cfg.encoding != "triplane_wavelet":
+            return {}
         return build_planes(params["encoder"], self.cfg.triplane, max_resolution)
 
     def _density_blob(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -137,10 +174,13 @@ class NeRFField:
         resolution_mode: str = "full",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: (N, 3) in [-bound, bound] -> (sigma (N,), geo_feat (N, G))."""
-        feats = sample_triplane(
-            planes, x, self.cfg.triplane, lbound=self.cfg.bound,
-            resolution_mode=resolution_mode,
-        )
+        if self._enc_apply is not None:
+            feats = self._enc_apply(params["encoder"], x)
+        else:
+            feats = sample_triplane(
+                planes, x, self.cfg.triplane, lbound=self.cfg.bound,
+                resolution_mode=resolution_mode,
+            )
         h = _mlp(params["sigma_net"], feats, self.dtype)
         sigma = trunc_exp(self._density_blob(x, h[..., 0]))
         return sigma, h[..., 1:]

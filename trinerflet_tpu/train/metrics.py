@@ -32,7 +32,16 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def ssim(pred: np.ndarray, truth: np.ndarray, data_range: float = 1.0) -> float:
-    """Mean SSIM over channels; inputs (H, W, C) in [0, 1]."""
+    """Mean SSIM over channels; inputs (H, W, C) in [0, 1]. Uses the OpenMP
+    native kernel when built (trinerflet_tpu.native), scipy otherwise."""
+    if data_range == 1.0:
+        try:
+            from .. import native
+
+            if native.available():
+                return native.ssim(np.asarray(pred, np.float32), np.asarray(truth, np.float32))
+        except Exception:
+            pass
     k = _gaussian_kernel()
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2

@@ -126,8 +126,15 @@ class Trainer:
         self.field = NeRFField(nerf_cfg)
         self.workspace = workspace
         self.mesh = mesh  # jax.sharding.Mesh for multi-chip (see parallel/)
+        self.logger = None
         if workspace:
             os.makedirs(workspace, exist_ok=True)
+            from ..utils.logging import ExperimentLogger
+
+            self.logger = ExperimentLogger(workspace)
+            self.logger.config(
+                {"nerf": nerf_cfg, "render": render_cfg, "train": train_cfg}
+            )
 
         self.optimizer = optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
@@ -386,10 +393,17 @@ class Trainer:
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
                 dt = time.time() - t0
-                print(
+                msg = (
                     f"step {int(state.step):6d} loss {loss:.5f} "
                     f"({self.cfg.num_rays * (it + 1) / max(dt, 1e-9):,.0f} rays/s)"
                 )
+                if self.logger is not None:
+                    self.logger.text(msg)
+                    scal = {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
+                    scal["lr"] = lr_schedule(self.cfg)(int(state.step))
+                    self.logger.scalars(int(state.step), scal)
+                else:
+                    print(msg)
             if callback is not None:
                 callback(state, aux)
         return state
