@@ -244,7 +244,7 @@ class TestMarchAndComposite:
         rgb = jnp.ones((N, T, 3)) * 0.5
         deltas = jnp.full((N, T), 1.0 / T)
         ts = jnp.broadcast_to(jnp.linspace(0, 1, T), (N, T))
-        ws, dep, img = RM.composite_dense(sig, rgb, deltas, ts)
+        ws, dep, img, _ = RM.composite_dense(sig, rgb, deltas, ts)
         np.testing.assert_allclose(np.asarray(ws), 1 - np.exp(-2.0), atol=1e-3)
         np.testing.assert_allclose(np.asarray(img), 0.5 * (1 - np.exp(-2.0)), atol=1e-3)
 

@@ -92,6 +92,8 @@ def get_params(argv=None):
     parser.add_argument("--alpha_bce", type=float, default=0)
     parser.add_argument("--density_blob_scale", type=float, default=0)
     parser.add_argument("--density_blob_std", type=float, default=0.5)
+    parser.add_argument("--z_variance_reg", type=float, default=-1)
+    parser.add_argument("--mlp_weight_decay", type=float, default=-1)
 
     # performance knobs (TPU additions)
     parser.add_argument("--samples_per_ray_budget", type=int, default=24,
@@ -166,6 +168,8 @@ def build_configs(opt):
         criterion="huber" if opt.huber_loss else "mse",
         alpha_bce=opt.alpha_bce,
         error_map=opt.error_map,
+        z_variance_reg=opt.z_variance_reg,
+        mlp_weight_decay=opt.mlp_weight_decay,
         update_extra_interval=opt.update_extra_interval,
         renderer="occgrid" if opt.cuda_ray else "dense",
         eval_chunk=opt.max_ray_batch,

@@ -463,7 +463,7 @@ def composite_dense(
     weights_sum = weights.sum(-1)
     depth = (weights * ts).sum(-1)
     image = (weights[..., None] * rgbs).sum(-2)
-    return weights_sum, depth, image
+    return weights_sum, depth, image, weights
 
 
 # ---------------------------------------------------------------------------

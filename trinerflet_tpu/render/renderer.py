@@ -288,12 +288,14 @@ def render_dense(
     rgbs = color_fn(dirs.reshape(-1, 3), geos).reshape(N, T, 3)
 
     ori_z = jnp.clip((z_vals - nears_) / (fars_ - nears_), 0, 1)
-    ws, depth, image = RM.composite_dense(
+    ws, depth, image, weights = RM.composite_dense(
         cfg.density_scale * sigmas, rgbs, deltas, ori_z
     )
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
-    return {"image": image, "depth": depth, "weights_sum": ws}
+    mean_z = depth / jnp.maximum(ws, 1e-8)
+    z_var = (weights * (ori_z - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
+    return {"image": image, "depth": depth, "weights_sum": ws, "z_variance": z_var}
 
 
 # ---------------------------------------------------------------------------
@@ -353,10 +355,12 @@ def render_occgrid(
         sigmas = sigmas.reshape(N, B)
         rgbs = rgbs.reshape(N, B, 3)
         ts_rel = jnp.where(mask, t + dt - t0[:, None], 0.0)
-        ws, depth_raw, image = RM.composite_dense(
+        ws, depth_raw, image, weights = RM.composite_dense(
             cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
             t_thresh=cfg.t_thresh,
         )
+        mean_z = depth_raw / jnp.maximum(ws, 1e-8)
+        z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
         num_samples = mask.sum()
     else:
         n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
@@ -377,10 +381,12 @@ def render_occgrid(
             sigmas = sigmas.reshape(N, B)
             rgbs = rgbs.reshape(N, B, 3)
             ts_rel = jnp.where(mask, t + dt - march.ts[:, 0:1], 0.0)
-            ws, depth_raw, image = RM.composite_dense(
+            ws, depth_raw, image, weights = RM.composite_dense(
                 cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
                 t_thresh=cfg.t_thresh,
             )
+            mean_z = depth_raw / jnp.maximum(ws, 1e-8)
+            z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
             num_samples = mask.sum()
         else:
             comp = RM.compact_samples(rays_o, rays_d, march, m_budget=N * B, bound=cfg.bound)
@@ -388,10 +394,11 @@ def render_occgrid(
             ws, depth_raw, image = RM.composite_compact(
                 cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
             )
+            z_var = jnp.zeros_like(ws)  # not tracked on the global-compaction path
             num_samples = comp.num_valid
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
     depth = jnp.clip(depth_raw - nears, min=0.0) / span
     return {"image": image, "depth": depth, "weights_sum": ws,
-            "num_samples": num_samples}
+            "z_variance": z_var, "num_samples": num_samples}

@@ -66,6 +66,8 @@ class TrainConfig:
     criterion: str = "mse"           # "mse" | "huber"
     huber_delta: float = 0.1
     alpha_bce: float = 0.0
+    z_variance_reg: float = -1.0     # --z_variance_reg
+    mlp_weight_decay: float = -1.0   # AdamW-style decay on the MLP groups only
     update_extra_interval: int = 16
     renderer: str = "occgrid"        # "occgrid" | "dense"
     error_map: bool = False          # error-guided ray sampling (--error_map)
@@ -136,10 +138,20 @@ class Trainer:
                 {"nerf": nerf_cfg, "render": render_cfg, "train": train_cfg}
             )
 
-        self.optimizer = optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
-            optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(train_cfg)(s)),
-        )
+        chain = [optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)]
+        if train_cfg.mlp_weight_decay > 0:
+            # reference: AdamW decays only sigma/color nets (network.py:224-233)
+            def mlp_mask(params):
+                return {
+                    k: jax.tree.map(lambda _: k in ("sigma_net", "color_net"), v)
+                    for k, v in params.items()
+                }
+
+            chain.append(
+                optax.add_decayed_weights(train_cfg.mlp_weight_decay, mask=mlp_mask)
+            )
+        chain.append(optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(train_cfg)(s)))
+        self.optimizer = optax.chain(*chain)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
@@ -243,6 +255,8 @@ class Trainer:
         if cfg.alpha_bce > 0:
             alpha = jnp.clip(out["weights_sum"], 0.01, 0.99)
             loss = loss + (-cfg.alpha_bce * jnp.log(alpha).mean())
+        if cfg.z_variance_reg > 0 and "z_variance" in out:
+            loss = loss + cfg.z_variance_reg * out["z_variance"].mean()
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
         if err_info is not None:
