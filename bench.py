@@ -33,7 +33,7 @@ def main():
     nerf_cfg = NeRFConfig(
         triplane=TriplaneConfig(channels=16, resolution=1024, wavelet_scale=16),
         bound=1.5,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", plane_dtype="bfloat16",
     )
     render_cfg = RenderConfig(
         bound=1.5, grid_size=128, density_thresh=10.0, max_steps=1024,

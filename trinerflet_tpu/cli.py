@@ -139,6 +139,7 @@ def build_configs(opt):
         num_layers_bg=2,
         hidden_dim_bg=opt.hidden_dim_bg,
         compute_dtype="bfloat16" if opt.fp16 else "float32",
+        plane_dtype="bfloat16" if opt.fp16 else "float32",
     )
     render_cfg = RenderConfig(
         bound=opt.bound,

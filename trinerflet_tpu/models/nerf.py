@@ -52,6 +52,7 @@ class NeRFConfig:
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
     compute_dtype: str = "float32"  # "bfloat16" for MXU-speed matmuls
+    plane_dtype: str = "float32"    # "bfloat16" halves plane-gather bandwidth
 
     @property
     def in_dim(self) -> int:
@@ -155,7 +156,10 @@ class NeRFField:
     def build_planes(self, params: Dict, max_resolution: int = -1) -> Dict[str, jnp.ndarray]:
         if self.cfg.encoding != "triplane_wavelet":
             return {}
-        return build_planes(params["encoder"], self.cfg.triplane, max_resolution)
+        planes = build_planes(params["encoder"], self.cfg.triplane, max_resolution)
+        if self.cfg.plane_dtype == "bfloat16":
+            planes = {k: v.astype(jnp.bfloat16) for k, v in planes.items()}
+        return planes
 
     def _density_blob(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
