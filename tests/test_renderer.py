@@ -165,3 +165,53 @@ class TestOccupancyUpdate:
         grid = R.mark_untrained_grid(pose[None], (100.0, 100.0, 16.0, 16.0), cfg)
         assert (grid == -1).sum() > 0
         assert (grid == 0).sum() > 0
+
+
+class TestSpreadSampling:
+    def test_first_k_valid_spread_covers_span(self):
+        """When valid count exceeds the budget, selection must span ALL valid
+        entries (evenly) instead of truncating to the first B — truncation
+        confined early-training supervision to a shell at the ray entry and
+        destroyed novel-view quality (15 dB vs 42 dB)."""
+        from trinerflet_tpu.ops.raymarch import first_k_valid
+        N, K, B = 4, 256, 16
+        valid = jnp.ones((N, K), bool)
+        idx, mask, stride = first_k_valid(valid, B, spread=True)
+        idx = np.asarray(idx)
+        assert mask.all()
+        np.testing.assert_allclose(np.asarray(stride), K / B)
+        assert idx[0, -1] == K - 1          # reaches the far end
+        assert idx[0, 0] == K // B - 1      # even spacing from the start
+        assert (np.diff(idx[0]) == K // B).all()
+
+    def test_first_k_valid_exact_when_under_budget(self):
+        from trinerflet_tpu.ops.raymarch import first_k_valid
+        valid = np.zeros((2, 64), bool)
+        valid[0, [3, 10, 50]] = True
+        idx, mask, stride = first_k_valid(jnp.asarray(valid), 8, spread=True)
+        np.testing.assert_array_equal(np.asarray(idx)[0, :3], [3, 10, 50])
+        np.testing.assert_array_equal(np.asarray(mask)[0], [1, 1, 1, 0, 0, 0, 0, 0])
+        np.testing.assert_allclose(np.asarray(stride), 1.0)
+
+    def test_dense_grid_samples_span_ray(self):
+        """Full occupancy + tiny budget: rendered samples must cover the whole
+        [near, far] span with dt scaled to preserve optical depth."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=512,
+                             samples_per_ray_budget=16, density_thresh=0.5)
+        occ = jnp.ones((1, 32, 32, 32), bool)
+        occ_c = occ
+        o, d = camera_rays(4)
+        # sphere-crossing rays stay opaque despite the tiny budget
+        out = R.render_occgrid(analytic_field, o, d, occ, cfg, bg_color=0.0,
+                               occ_coarse=occ_c)
+        ws = np.asarray(out["weights_sum"])
+        xs = np.linspace(-0.9, 0.9, 4)
+        assert (ws[np.abs(xs) < 0.4] > 0.9).all()
+        # translucent fog sigma=1: total optical depth = span; with correct
+        # dt scaling ws = 1 - exp(-span) for center rays (span ~2 in z)
+        def fog(x, dd):
+            return jnp.full(x.shape[:-1], 1.0), jnp.ones(x.shape[:-1] + (3,))
+        out2 = R.render_occgrid(fog, o, d, occ, cfg, bg_color=0.0, occ_coarse=occ_c)
+        ws2 = np.asarray(out2["weights_sum"])
+        expect = 1 - np.exp(-2.0)
+        np.testing.assert_allclose(ws2, expect, atol=0.08)

@@ -256,18 +256,40 @@ def compact_samples(
     )
 
 
-def first_k_valid(valid: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row indices of the first ``budget`` True entries of ``valid`` (N, K).
+def first_k_valid(
+    valid: jnp.ndarray, budget: int, spread: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row selection of ``budget`` True entries of ``valid`` (N, K).
+
+    With ``spread=False`` takes the first ``budget`` valid entries. With
+    ``spread=True`` and more than ``budget`` valid entries, takes evenly
+    spaced ranks across ALL valid entries instead — critical for early
+    training, when the occupancy grid is dense and truncating to the first B
+    samples would confine supervision to a shell at the ray entry (the CUDA
+    reference keeps up to max_steps samples; a static budget must subsample
+    the whole span instead of clipping it).
 
     Branchless vectorized binary search over the row-wise inclusive cumsum,
     with *flat* gathers (batched take_along_axis lowers poorly on TPU).
-    Returns (idx (N, budget) int32, mask (N, budget) bool).
+    Returns (idx (N, budget) int32, mask (N, budget) bool,
+    stride (N,) float32 = #valid represented by each kept sample, >= 1).
     """
     N, K = valid.shape
     c = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    count = c[:, -1:]
+    b1 = jnp.broadcast_to(jnp.arange(1, budget + 1, dtype=c.dtype), (N, budget))
+    if spread:
+        over = count > budget
+        even = jnp.ceil(b1.astype(jnp.float32) * count.astype(jnp.float32) / budget)
+        tgt = jnp.where(over, even.astype(c.dtype), b1)
+        stride = jnp.where(
+            over[:, 0], count[:, 0].astype(jnp.float32) / budget, 1.0
+        )
+    else:
+        tgt = b1
+        stride = jnp.ones((N,), jnp.float32)
     cflat = c.reshape(-1)
     rowoff = (jnp.arange(N, dtype=jnp.int32) * K)[:, None]
-    tgt = jnp.broadcast_to(jnp.arange(1, budget + 1, dtype=c.dtype), (N, budget))
     lo = jnp.zeros((N, budget), jnp.int32)
     hi = jnp.full((N, budget), K, jnp.int32)
     for _ in range(max(1, (K - 1).bit_length())):
@@ -276,8 +298,8 @@ def first_k_valid(valid: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.nda
         go_right = val < tgt
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
-    mask = tgt <= c[:, -1:]
-    return jnp.minimum(lo, K - 1), mask
+    mask = b1 <= count
+    return jnp.minimum(lo, K - 1), mask, stride
 
 
 @partial(
@@ -305,7 +327,7 @@ def march_hierarchical(
     cascades: int = 1,
     bound: float = 1.0,
     dt_gamma: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-level occupancy marching (TPU redesign of the CUDA voxel-skipping
     loop, raymarching.cu:384-399).
 
@@ -318,7 +340,8 @@ def march_hierarchical(
     flat candidate enumeration (the gathers are the TPU bottleneck).
 
     Only supports dt_gamma == 0 (constant dt; the Blender recipes). Returns
-    (t (N, budget), dt scalar, mask (N, budget)).
+    (t (N, budget), dt scalar, mask (N, budget), stride (N,)) where stride is
+    the optical-depth multiplier for budget-exceeded rays (see first_k_valid).
     """
     assert dt_gamma == 0.0, "hierarchical march requires constant dt"
     N = rays_o.shape[0]
@@ -341,7 +364,7 @@ def march_hierarchical(
     pts_c = jnp.clip(pts_c, -bound, bound)
     occ_c = occ_lookup(occ_coarse, pts_c, jnp.full_like(t_mid, dt))
     valid_c = occ_c & (t_mid - 0.5 * seg < fars[:, None])
-    seg_idx, seg_mask = first_k_valid(valid_c, coarse_budget)     # (N, Bc)
+    seg_idx, seg_mask, seg_stride = first_k_valid(valid_c, coarse_budget, spread=True)
 
     # ---- level 2: fine candidates inside surviving segments
     t_seg0 = t0[:, None] + seg * seg_idx.astype(rays_o.dtype)     # (N, Bc)
@@ -354,14 +377,16 @@ def march_hierarchical(
     valid_f = valid_f.reshape(N, coarse_budget * fine_per_coarse)
     t_f = t_f.reshape(N, coarse_budget * fine_per_coarse)
 
-    # ---- final compaction to the sample budget
-    idx, mask = first_k_valid(valid_f, budget)
+    # ---- final compaction to the sample budget (evenly spread when over)
+    idx, mask, fine_stride = first_k_valid(valid_f, budget, spread=True)
     t = jnp.take(
         t_f.reshape(-1),
         (jnp.arange(N, dtype=jnp.int32) * (coarse_budget * fine_per_coarse))[:, None] + idx,
     )
     t = jnp.where(mask, t, 0.0)
-    return t, jnp.asarray(dt, rays_o.dtype), mask
+    # each kept sample stands in for stride-many occupied steps of optical depth
+    stride = seg_stride * fine_stride
+    return t, jnp.asarray(dt, rays_o.dtype), mask, stride
 
 
 def compact_per_ray(march: MarchResults, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -371,21 +396,9 @@ def compact_per_ray(march: MarchResults, budget: int) -> Tuple[jnp.ndarray, jnp.
     This is the TPU-friendliest equivalent of the CUDA per-ray sample list:
     fixed stride per ray, so downstream compositing is a plain masked cumprod
     along axis 1 — no segment bookkeeping, no scatters, no global cumsum.
-    Returns (k_idx (N, B) int32, mask (N, B) bool).
+    Returns (k_idx (N, B) int32, mask (N, B) bool, stride (N,) float32).
     """
-    N, Kc = march.valid.shape
-    c = jnp.cumsum(march.valid.astype(jnp.int32), axis=1)  # (N, Kc)
-    tgt = jnp.broadcast_to(jnp.arange(1, budget + 1, dtype=c.dtype), (N, budget))
-    lo = jnp.zeros((N, budget), jnp.int32)
-    hi = jnp.full((N, budget), Kc, jnp.int32)
-    for _ in range(max(1, (Kc - 1).bit_length())):  # branchless binary search
-        mid = (lo + hi) // 2
-        val = jnp.take_along_axis(c, jnp.minimum(mid, Kc - 1), axis=1)
-        go_right = val < tgt
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    mask = tgt <= c[:, -1:]
-    return jnp.minimum(lo, Kc - 1), mask
+    return first_k_valid(march.valid, budget, spread=True)
 
 
 # ---------------------------------------------------------------------------

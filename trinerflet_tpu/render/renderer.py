@@ -339,14 +339,14 @@ def render_occgrid(
     if hierarchical:
         F = cfg.fine_per_coarse
         num_coarse = int(math.ceil(cfg.bound * steps / F))
-        t, dt_scalar, mask = RM.march_hierarchical(
+        t, dt_scalar, mask, stride = RM.march_hierarchical(
             rays_o, rays_d, nears_c, fars_c, occ, occ_coarse, noise,
             num_coarse=num_coarse, fine_per_coarse=F,
             coarse_budget=cfg.coarse_budget, budget=B, max_steps=steps,
             grid_size=cfg.grid_size, cascades=cfg.cascades, bound=cfg.bound,
             dt_gamma=0.0,
         )
-        dt = jnp.where(mask, dt_scalar, 0.0)
+        dt = jnp.where(mask, dt_scalar * stride[:, None], 0.0)
         t0 = nears_c + dt_scalar * noise
         pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
         pts = jnp.clip(pts, -cfg.bound, cfg.bound)
@@ -370,10 +370,10 @@ def render_occgrid(
             cascades=cfg.cascades, bound=cfg.bound, dt_gamma=cfg.dt_gamma,
         )
         if cfg.compaction == "per_ray":
-            k_idx, mask = RM.compact_per_ray(march, B)
+            k_idx, mask, stride = RM.compact_per_ray(march, B)
             t = jnp.take_along_axis(march.ts, k_idx, axis=1)     # (N, B)
             dt = jnp.take_along_axis(march.dts, k_idx, axis=1)
-            dt = jnp.where(mask, dt, 0.0)
+            dt = jnp.where(mask, dt * stride[:, None], 0.0)
             pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
             pts = jnp.clip(pts, -cfg.bound, cfg.bound)
             dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
