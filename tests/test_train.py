@@ -77,6 +77,15 @@ class TestEndToEnd:
         p = psnr(img, gt)
         assert p > 18.0, f"PSNR too low after 300 iters: {p:.2f}"
         assert np.isfinite(depth).all()
+        # NOVEL-view check (cameras never seen in training): guards against
+        # crust/memorization failures that train-view PSNR cannot see
+        held = make_synthetic_scene(num_views=2, H=64, W=64, num_steps=128, seed=7)
+        img_n, _ = trainer.render_image(
+            state.params, state.occ, held.poses[0], held.intrinsics, held.H, held.W
+        )
+        gt_n = held.images[0][..., :3] * held.images[0][..., 3:]
+        p_novel = psnr(img_n, gt_n)
+        assert p_novel > 16.0, f"novel-view PSNR too low: {p_novel:.2f}"
         # store for following tests via class attr
         type(self).trained = (trainer, state, p)
 
