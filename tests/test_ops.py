@@ -268,3 +268,34 @@ class TestSamplePdf:
         out = np.asarray(RM.sample_pdf(bins, jnp.asarray(w), S, u))
         lo, hi = bins[0, 7], bins[0, 8]
         assert ((out > lo - 0.02) & (out < hi + 0.02)).mean() > 0.95
+
+
+class TestQuadSampler:
+    def test_matches_reference_sampler_exactly(self):
+        """The quad-packed sampler must reproduce grid_sample_2d bitwise-close
+        (same bilinear math, border padding, align_corners)."""
+        from trinerflet_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
+        rng = np.random.default_rng(0)
+        plane = jnp.asarray(rng.standard_normal((19, 23, 6)), jnp.float32)
+        coords = jnp.asarray(rng.random((500, 2)) * 2.4 - 1.2, jnp.float32)
+        a = np.asarray(grid_sample_2d(plane, coords))
+        b = np.asarray(grid_sample_2d_quad(plane, coords))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_plane_gradients_match_reference(self):
+        """d(loss)/d(plane) of the quad path must equal autodiff of the
+        reference path (the custom scatter+fold backward)."""
+        from trinerflet_tpu.ops.grid_sample import grid_sample_2d, grid_sample_2d_quad
+        rng = np.random.default_rng(1)
+        plane = jnp.asarray(rng.standard_normal((12, 14, 4)), jnp.float32)
+        coords = jnp.asarray(rng.random((200, 2)) * 2.0 - 1.0, jnp.float32)
+        gref = jax.grad(lambda p: (grid_sample_2d(p, coords) ** 2).sum())(plane)
+        gq = jax.grad(lambda p: (grid_sample_2d_quad(p, coords) ** 2).sum())(plane)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gref), atol=1e-4)
+
+    def test_coord_grads_are_zero(self):
+        from trinerflet_tpu.ops.grid_sample import grid_sample_2d_quad
+        plane = jnp.ones((8, 8, 2))
+        coords = jnp.asarray([[0.3, -0.4]], jnp.float32)
+        g = jax.grad(lambda c: grid_sample_2d_quad(plane, c).sum())(coords)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import wavelets as W
-from ..ops.grid_sample import sample_planes
+from ..ops.grid_sample import sample_planes, sample_planes_quad
 
 __all__ = ["TriplaneConfig", "init_triplane_params", "build_planes", "sample_triplane", "wavelet_l1"]
 
@@ -61,6 +61,10 @@ class TriplaneConfig:
     # SR dual-resolution snapshots (threestudio triplane_encoder.py:268-348)
     low_res_scale: int = 1              # snapshot planes at resolution/low_res_scale
     high_res_scale: int = 1
+    # quad-packed sampler: 1 gather/scatter per plane instead of 4 (PERF.md);
+    # identical values, but NO coordinate gradients — disable where the
+    # encoder must be differentiated w.r.t. positions (SR analytic normals)
+    fast_sampler: bool = True
 
     @property
     def levels(self) -> int:
@@ -260,9 +264,11 @@ def sample_triplane(
     lb = cfg.lbound if lbound is None else lbound
     N = coords.shape[0]
 
+    sampler = sample_planes_quad if cfg.fast_sampler else sample_planes
+
     def flat_sample(plane_stack, bound):
         pc = project_to_planes(coords, bound)
-        feats = sample_planes(plane_stack, pc)  # (N, 3, C)
+        feats = sampler(plane_stack, pc)  # (N, 3, C)
         return feats.reshape(N, -1)
 
     if not cfg.upscale_enabled or "upscale_0" not in planes:

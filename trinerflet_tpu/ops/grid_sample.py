@@ -73,3 +73,99 @@ def sample_planes(planes: jnp.ndarray, coords2d: jnp.ndarray) -> jnp.ndarray:
         [grid_sample_2d(planes[p], coords2d[p]) for p in range(planes.shape[0])]
     )  # (P, N, C)
     return jnp.transpose(out, (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Quad-packed fast sampler
+# ---------------------------------------------------------------------------
+# TPU gathers/scatters cost ~15-100 ns per ROW regardless of row width
+# (PERF.md), so bilinear's 4 corner lookups are 4x too many. Packing each
+# texel's 2x2 neighborhood into one (4C) row makes bilinear ONE gather per
+# (sample, plane) forward and ONE scatter-add backward; the overlapping-quad
+# gradient is folded back to texels with dense shifted adds. Coordinates get
+# zero gradients on this path (ray geometry is never learnable in training;
+# use `grid_sample_2d` where coordinate gradients are required, e.g. SR
+# analytic normals).
+
+
+def _quad_pack(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4C) rows holding [P(y,x), P(y,x+1), P(y+1,x),
+    P(y+1,x+1)] with edge clamping (rows at x=W-1 / y=H-1 are never read)."""
+    p01 = jnp.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    p10 = jnp.concatenate([plane[1:], plane[-1:]], axis=0)
+    p11 = jnp.concatenate([p01[1:], p01[-1:]], axis=0)
+    return jnp.concatenate([plane, p01, p10, p11], axis=-1)
+
+
+def _quad_unpack_grad(gq: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of _quad_pack: (H, W, 4C) quad-grads -> (H, W, C) texel grads."""
+    C = gq.shape[-1] // 4
+    g00, g01, g10, g11 = (gq[..., i * C : (i + 1) * C] for i in range(4))
+
+    def shx(a):  # adjoint of x-shift with edge clamp
+        out = jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+        return out.at[:, -1].add(a[:, -1])
+
+    def shy(a):
+        out = jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+        return out.at[-1].add(a[-1])
+
+    return g00 + shx(g01) + shy(g10) + shy(shx(g11))
+
+
+def _corner_weights(plane_shape, coords):
+    H, W = plane_shape[:2]
+    x = jnp.clip((coords[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
+    y = jnp.clip((coords[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    w = jnp.concatenate(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+    )  # (N, 4)
+    return y0 * W + x0, w
+
+
+@jax.custom_vjp
+def grid_sample_2d_quad(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample identical to :func:`grid_sample_2d` (border padding,
+    align_corners=True) with one gather per sample. plane (H, W, C),
+    coords (N, 2) -> (N, C). No coordinate gradients (see module note)."""
+    return _quad_fwd(plane, coords)[0]
+
+
+def _quad_fwd(plane, coords):
+    H, W, C = plane.shape
+    quad = _quad_pack(plane).reshape(H * W, 4 * C)
+    idx, w = _corner_weights(plane.shape, coords)
+    rows = jnp.take(quad, idx, axis=0)  # (N, 4C) - the one gather
+    vals = rows.reshape(-1, 4, C)
+    out = (vals * w[..., None]).sum(axis=1)
+    # zero-size markers carry the primal SHAPES/dtypes into the bwd statically
+    marker = jnp.zeros((0,) + plane.shape, plane.dtype)
+    cmarker = jnp.zeros((0,), coords.dtype)
+    return out, (idx, w, marker, cmarker)
+
+
+def _quad_bwd(res, g):
+    idx, w, marker, cmarker = res
+    H, W, C = marker.shape[1:]
+    gq_rows = (w[..., None] * g[:, None, :]).reshape(-1, 4 * C)  # (N, 4C)
+    gq = jnp.zeros((H * W, 4 * C), jnp.float32).at[idx].add(
+        gq_rows.astype(jnp.float32)
+    )  # the one scatter-add
+    g_plane = _quad_unpack_grad(gq.reshape(H, W, 4 * C)).astype(marker.dtype)
+    return g_plane, jnp.zeros((g.shape[0], 2), cmarker.dtype)
+
+
+grid_sample_2d_quad.defvjp(lambda p, c: _quad_fwd(p, c), _quad_bwd)
+
+
+def sample_planes_quad(planes: jnp.ndarray, coords2d: jnp.ndarray) -> jnp.ndarray:
+    """Quad-packed variant of :func:`sample_planes` (1 gather/scatter per
+    plane). Same output; zero coordinate gradients."""
+    out = jnp.stack(
+        [grid_sample_2d_quad(planes[p], coords2d[p]) for p in range(planes.shape[0])]
+    )
+    return jnp.transpose(out, (1, 0, 2))
