@@ -47,7 +47,7 @@ class TestGridSample:
 
 
 class TestEncoders:
-    @pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 6, 7])
+    @pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 6, 7, 8])
     def test_sh_orthonormality(self, degree):
         """Real SH must be orthonormal over the unit sphere: this catches any
         wrong coefficient/normalization without fixing a sign convention."""

@@ -107,3 +107,40 @@ def load_colmap_poses(sparse_dir: str):
     poses = np.stack([im.c2w for im in images])
     cam = cams[images[0].camera_id]
     return [im.name for im in images], poses, cam.intrinsics
+
+
+def load_colmap_scene(root: str, downscale: int = 1, scale: float = 0.33,
+                      offset=(0, 0, 0), hold_every: int = 0, split: str = "train"):
+    """COLMAP reconstruction (root/sparse/0 + root/images) -> SceneData with
+    the ngp pose convention (reference provider.py colmap branch)."""
+    import cv2
+
+    from .blender import SceneData, nerf_matrix_to_ngp
+
+    names, poses_cv, intr = load_colmap_poses(os.path.join(root, "sparse", "0"))
+    # OpenCV cam (z forward, y down) -> OpenGL/blender (z backward, y up)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    poses_gl = np.stack([p @ flip for p in poses_cv])
+    poses = np.stack([nerf_matrix_to_ngp(p, scale, offset) for p in poses_gl])
+
+    imgs = []
+    for n in names:
+        img = cv2.imread(os.path.join(root, "images", n), cv2.IMREAD_UNCHANGED)
+        if img.ndim == 3 and img.shape[-1] >= 3:
+            img[..., :3] = img[..., 2::-1]
+        img = img.astype(np.float32) / 255.0
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        if downscale > 1:
+            img = cv2.resize(img, (img.shape[1] // downscale, img.shape[0] // downscale),
+                             interpolation=cv2.INTER_AREA)
+        imgs.append(img)
+    images = np.stack(imgs)
+    fx, fy, cx, cy = (v / downscale for v in intr)
+    idx = np.arange(len(images))
+    if hold_every > 0:
+        test_idx = idx[::hold_every]
+        sel = test_idx if split in ("test", "val") else np.setdiff1d(idx, test_idx)
+        images, poses = images[sel], poses[sel]
+    return SceneData(images=images, poses=poses, intrinsics=(fx, fy, cx, cy),
+                     H=images.shape[1], W=images.shape[2])

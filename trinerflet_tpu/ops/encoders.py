@@ -37,14 +37,64 @@ def freq_encode(x: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
+def sh_encode_general(d: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Real spherical harmonics of arbitrary degree via the associated
+    Legendre recurrence (differentiable, vectorized). Convention matches the
+    closed-form table above: Condon–Shortley phase included, z as the polar
+    axis, order (m = 0..-l..+l interleaved as [-l..+l])."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    L = degree
+    # associated Legendre P_l^m(z) for unit-ish directions (|d| ~ 1), using
+    # sin(theta)^m absorbed into the (x, y) azimuthal factors:
+    # define A_m = Re[(x + iy)^m], B_m = Im[(x + iy)^m]
+    A = [jnp.ones_like(x), x]
+    B = [jnp.zeros_like(x), y]
+    for m in range(2, L):
+        A.append(x * A[m - 1] - y * B[m - 1])
+        B.append(x * B[m - 1] + y * A[m - 1])
+    # "semi-normalized" P~_l^m with sin^m factored out: P~_m^m recurrence
+    import math as _m
+
+    out = [None] * (L * L)
+
+    def K(l, m):
+        return _m.sqrt((2 * l + 1) / (4 * _m.pi) * _m.factorial(l - m) / _m.factorial(l + m))
+
+    # P~ tables
+    P = {}
+    for m in range(0, L):
+        if m == 0:
+            pmm = jnp.ones_like(z)
+        else:
+            pmm = P[(m - 1, m - 1)] * (-(2 * m - 1))
+        P[(m, m)] = pmm
+        if m + 1 < L:
+            P[(m + 1, m)] = z * (2 * m + 1) * pmm
+        for l in range(m + 2, L):
+            P[(l, m)] = ((2 * l - 1) * z * P[(l - 1, m)] - (l + m - 1) * P[(l - 2, m)]) / (l - m)
+
+    sqrt2 = _m.sqrt(2.0)
+    for l in range(L):
+        out[l * l + l] = K(l, 0) * P[(l, 0)]
+        for m in range(1, l + 1):
+            base = sqrt2 * K(l, m) * P[(l, m)]
+            out[l * l + l - m] = base * B[m]
+            out[l * l + l + m] = base * A[m]
+    return jnp.stack(out, axis=-1)
+
+
 def sh_encode(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
     """Real spherical harmonics of a (not necessarily unit) direction.
 
     Matches the instant-ngp / shencoder closed-form expansion up to degree 8.
     d: (..., 3) -> (..., degree^2)
     """
-    if not 1 <= degree <= 7:
-        raise ValueError(f"sh degree must be in [1, 7], got {degree}")
+    if not 1 <= degree <= 8:
+        raise ValueError(f"sh degree must be in [1, 8], got {degree}")
+    if degree == 8:
+        # closed forms above stop at l=6; use the recurrence path for parity
+        # with shencoder's degree-8 support (shencoder.cu covers degree<=8)
+        return sh_encode_general(d, degree)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xy, xz, yz = x * y, x * z, y * z
     x2, y2, z2 = x * x, y * y, z * z
