@@ -1,13 +1,18 @@
 """Benchmark: training-step ray throughput of the flagship wavelet-triplane
-NeRF on the attached TPU chip.
+NeRF on the attached TPU chip(s).
 
 Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
 
-Baseline note: the reference repo publishes no numbers (BASELINE.md); the
-comparison constant below is a provisional estimate of torch-ngp-style
-training throughput for the reference's base Blender recipe on its tested
-A6000 (60k rays/step; see BASELINE.md for derivation and TODO).
+When more than one device is visible, the step runs data-parallel over a
+(data, model=1) mesh from parallel/sharding.py — rays sharded, params
+replicated, gradient psum inserted by XLA — so a multi-chip environment
+produces a scaling number with no flags.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). The constant
+below is DERIVED from published instant-ngp/torch-ngp lego training numbers
+scaled to the reference's A6000 (BASELINE.md "Baseline derivation" section),
+replacing round 1's unvalidated 2M rays/s guess.
 """
 
 import json
@@ -15,7 +20,7 @@ import time
 
 import numpy as np
 
-A6000_BASELINE_RAYS_PER_SEC = 2.0e6  # provisional; see BASELINE.md
+A6000_BASELINE_RAYS_PER_SEC = 6.0e5  # derived; see BASELINE.md
 
 
 def main():
@@ -28,33 +33,55 @@ def main():
     from trinerflet_tpu.render.renderer import RenderConfig, mark_untrained_grid
     from trinerflet_tpu.train.trainer import Trainer, TrainConfig
 
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from trinerflet_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(jax.devices(), model_parallel=1)
+
+    import os
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"  # tiny CPU smoke (tests)
+
     # base-recipe-like model: 1024^2 triplane, 16ch, levels 16, bound 1.5
-    num_rays = 32768
+    num_rays = (512 if smoke else 32768) * max(1, n_dev)
     nerf_cfg = NeRFConfig(
-        triplane=TriplaneConfig(channels=16, resolution=1024, wavelet_scale=16),
+        triplane=TriplaneConfig(
+            channels=16, resolution=64 if smoke else 1024,
+            wavelet_scale=4 if smoke else 16,
+        ),
         bound=1.5,
         compute_dtype="bfloat16", plane_dtype="bfloat16",
     )
     render_cfg = RenderConfig(
-        bound=1.5, grid_size=128, density_thresh=10.0, max_steps=1024,
+        bound=1.5, grid_size=32 if smoke else 128, density_thresh=10.0,
+        max_steps=128 if smoke else 1024,
         samples_per_ray_budget=20, dt_gamma=0.0,
     )
     train_cfg = TrainConfig(
         lr=1e-2, iters=10000, num_rays=num_rays, wavelet_regularization=0.4,
         renderer="occgrid", update_extra_interval=16,
     )
-    trainer = Trainer(nerf_cfg, render_cfg, train_cfg)
+    trainer = Trainer(nerf_cfg, render_cfg, train_cfg, mesh=mesh)
 
-    scene = make_synthetic_scene(num_views=8, H=256, W=256, num_steps=128)
+    scene = make_synthetic_scene(
+        num_views=2 if smoke else 8, H=64 if smoke else 256,
+        W=64 if smoke else 256, num_steps=32 if smoke else 128,
+    )
     grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
     state = trainer.init_state(density_grid=grid)
+    if mesh is not None:
+        from trinerflet_tpu.parallel.sharding import state_shardings
+
+        state = jax.device_put(state, state_shardings(mesh, state))
 
     data = trainer.scene_to_device(scene)
 
     # warm up until the occupancy grid reflects actual scene content so the
     # measured step carries a realistic marching/MLP workload (a fresh grid is
     # nearly empty -> artificially cheap steps)
-    warm = 120
+    warm = 20 if smoke else 120
     for i in range(warm):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(state)
@@ -63,7 +90,7 @@ def main():
     # (block_until_ready on donated-state outputs returns early through the
     #  axon relay; always force with a host transfer when timing)
 
-    steps = 50
+    steps = 10 if smoke else 50
     t0 = time.perf_counter()
     for i in range(steps):
         if i % train_cfg.update_extra_interval == 0:
@@ -74,7 +101,7 @@ def main():
 
     rays_per_sec = num_rays * steps / dt
     mean_samples = float(aux["num_samples"])
-    print(f"# step time {dt / steps * 1e3:.2f} ms; "
+    print(f"# devices {n_dev}; step time {dt / steps * 1e3:.2f} ms; "
           f"samples/step {mean_samples:,.0f} "
           f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)
