@@ -42,6 +42,64 @@ def field(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return sigma, rgb
 
 
+def _smoothstep_inside(signed_dist: np.ndarray, density: float, width: float) -> np.ndarray:
+    """Density `density` inside (signed_dist < 0), sharp sigmoid edge."""
+    return density / (1.0 + np.exp(np.clip(signed_dist / width, -60, 60)))
+
+
+def field_hf(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """High-frequency analytic (sigma, rgb): checkerboard-textured cube, a
+    lattice of thin rods (~2 occupancy voxels thick at H=128), and a striped
+    sphere. Stresses exactly what the smooth-spheres scene cannot: sharp
+    texture edges, thin geometry, occlusion — the failure modes of lossy
+    marching/sampling approximations (stand-in for nerf_synthetic lego, which
+    cannot be downloaded in this environment)."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    sigma = np.zeros(pts.shape[:-1], np.float32)
+    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
+
+    def add(s, col):
+        nonlocal sigma, rgb
+        sigma += s
+        rgb += s[..., None] * col.astype(np.float32)
+
+    # 1. striped sphere (high-frequency albedo on smooth geometry)
+    d = np.linalg.norm(pts - np.array([-0.05, -0.12, 0.0], np.float32), axis=-1) - 0.34
+    s = _smoothstep_inside(d, 70.0, 0.005)
+    stripe = (np.sin(x * 46.0) > 0).astype(np.float32)[..., None]
+    col = stripe * np.array([0.95, 0.8, 0.12]) + (1 - stripe) * np.array([0.12, 0.22, 0.78])
+    add(s, col)
+
+    # 2. 5x5 lattice of thin vertical rods (thin-structure stress)
+    pitch = 0.3
+    xm = np.clip(np.round(x / pitch), -2, 2) * pitch
+    zm = np.clip(np.round(z / pitch), -2, 2) * pitch
+    d_rod = np.hypot(x - xm, z - zm) - 0.016
+    in_y = np.maximum(np.abs(y) - 0.55, 0.0)
+    d_rod = np.maximum(d_rod, in_y)
+    s = _smoothstep_inside(d_rod, 90.0, 0.004)
+    ix = (xm / pitch + 2).astype(np.int64)
+    iz = (zm / pitch + 2).astype(np.int64)
+    hue = ((ix * 5 + iz) % 6).astype(np.float32)[..., None] / 6.0
+    col = np.concatenate(
+        [0.25 + 0.7 * np.abs(np.sin(np.pi * (hue + o))) for o in (0.0, 1 / 3, 2 / 3)],
+        axis=-1,
+    ).reshape(hue.shape[:-1] + (3,))
+    add(s, col)
+
+    # 3. checker-textured cube (sharp texture + sharp silhouette)
+    q = np.abs(pts - np.array([0.48, 0.28, -0.42], np.float32)) - 0.17
+    d_box = np.max(q, axis=-1)
+    s = _smoothstep_inside(d_box, 80.0, 0.005)
+    cells = np.floor(pts * 9.0).astype(np.int64)
+    checker = ((cells[..., 0] + cells[..., 1] + cells[..., 2]) % 2).astype(np.float32)[..., None]
+    col = checker * np.array([0.92, 0.92, 0.9]) + (1 - checker) * np.array([0.65, 0.15, 0.12])
+    add(s, col)
+
+    rgb = rgb / np.maximum(sigma[..., None], 1e-8)
+    return sigma, rgb
+
+
 def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     """cam2world in the framework's (ngp-style) convention: camera looks along
     +z of its rotation toward the origin."""
@@ -62,7 +120,11 @@ def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     return pose
 
 
-def _render_view(pose, intrinsics, H, W, num_steps=192, near=0.8, far=3.2):
+_FIELDS = {"spheres": field, "hf": field_hf}
+
+
+def _render_view(pose, intrinsics, H, W, num_steps=192, near=0.8, far=3.2,
+                 field_fn=field):
     rays_o, rays_d = rays_full_image(pose, intrinsics, H, W)
     t = np.linspace(near, far, num_steps, dtype=np.float32)
     dt = t[1] - t[0]
@@ -71,7 +133,7 @@ def _render_view(pose, intrinsics, H, W, num_steps=192, near=0.8, far=3.2):
     T = np.ones((H * W,), np.float32)
     for k in range(num_steps):  # chunk over steps to bound memory
         pts = rays_o + rays_d * t[k]
-        sigma, rgb = field(pts)
+        sigma, rgb = field_fn(pts)
         alpha = 1.0 - np.exp(-sigma * dt)
         w = alpha * T
         img += w[:, None] * rgb
@@ -88,7 +150,14 @@ def make_synthetic_scene(
     radius: float = 2.0,
     seed: int = 0,
     num_steps: int = 192,
+    variant: str = "spheres",
 ) -> SceneData:
+    """variant: "spheres" (smooth, easy) or "hf" (checker textures, thin rods
+    — the hard quality benchmark; use num_steps >= 384 so the ground-truth
+    marcher resolves the thin structures)."""
+    field_fn = _FIELDS[variant]
+    if variant == "hf":
+        num_steps = max(num_steps, 384)
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W
     intr = (fx, fy, W / 2.0, H / 2.0)
@@ -98,7 +167,7 @@ def make_synthetic_scene(
         phi = (v * 2.399963) % (2 * np.pi) + rng.uniform(0, 0.1)
         pose = orbit_pose(theta, phi, radius)
         poses.append(pose)
-        images.append(_render_view(pose, intr, H, W, num_steps))
+        images.append(_render_view(pose, intr, H, W, num_steps, field_fn=field_fn))
     return SceneData(
         images=np.stack(images), poses=np.stack(poses), intrinsics=intr, H=H, W=W
     )
@@ -120,6 +189,7 @@ def write_synthetic_scene(
     H: int = 100,
     W: int = 100,
     seed: int = 0,
+    variant: str = "spheres",
 ) -> str:
     """Write the synthetic scene to disk in Blender transforms format
     (loadable by ``load_blender(root, scale=1.0)``)."""
@@ -131,7 +201,7 @@ def write_synthetic_scene(
     fx = 0.9 * W
     cam_angle_x = 2 * np.arctan(0.5 * W / fx)
     for split, n, s in splits:
-        scene = make_synthetic_scene(n, H, W, seed=s)
+        scene = make_synthetic_scene(n, H, W, seed=s, variant=variant)
         frames = []
         os.makedirs(os.path.join(root, split), exist_ok=True)
         for v in range(n):

@@ -47,6 +47,7 @@ class RenderConfig:
     density_thresh: float = 10.0
     min_near: float = 0.2
     max_steps: int = 1024          # cap on occupied samples/ray (occgrid path)
+    occ_thresh_scale: float = 1.0  # scales the occupancy cut (nerfacc occ_thre)
     num_steps: int = 512           # dense path: uniform samples/ray
     upsample_steps: int = 0        # dense path: importance samples/ray
     dt_gamma: float = 0.0
@@ -186,7 +187,7 @@ def update_density_grid(
         valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
     )
     mean_density = jnp.mean(jnp.clip(new_grid, min=0))
-    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    thresh = jnp.minimum(mean_density, cfg.density_thresh) * cfg.occ_thresh_scale
     occ = (new_grid > thresh).reshape(C, H, H, H)
     return OccupancyState(
         density_grid=new_grid,

@@ -60,6 +60,9 @@ class SRConfig:
     lambda_l2_hr: ScheduledFloat = 1.0
     lambda_l1_hr: ScheduledFloat = 0.0
     lambda_lr_consistency: ScheduledFloat = 1.0
+    # LPIPS(downscaled HR estimate, LR GT) — reference
+    # triplane_wavelet_sr.py:622-628; needs lpips_params at system init
+    lambda_lr_consistency_perceptual: ScheduledFloat = 0.0
     lambda_sds: ScheduledFloat = 0.0
     wavelet_regularization: ScheduledFloat = 0.1
     weighted_regularization: bool = False
@@ -87,6 +90,8 @@ class SRSystem:
         cfg: SRConfig,
         guidance,
         workspace: Optional[str] = None,
+        lpips_params=None,
+        lpips_net: str = "vgg",
     ):
         assert nerf_cfg.triplane.low_res_scale > 1, "SR needs a dual-resolution triplane"
         self.nerf_cfg = nerf_cfg
@@ -94,6 +99,8 @@ class SRSystem:
         self.cfg = cfg
         self.guidance = guidance
         self.field = NeRFField(nerf_cfg)
+        self.lpips_params = lpips_params  # None -> perceptual terms disabled
+        self.lpips_net = lpips_net
         self.workspace = workspace
         if workspace:
             os.makedirs(workspace, exist_ok=True)
@@ -194,8 +201,9 @@ class SRSystem:
                       weight_pack):
         rng, k_perturb = jax.random.split(state.rng)
         state = state._replace(rng=rng)
-        w_l2, w_l1, w_cons, w_reg = (weight_pack[0], weight_pack[1],
-                                     weight_pack[2], weight_pack[3])
+        w_l2, w_l1, w_cons, w_reg, w_percep = (weight_pack[0], weight_pack[1],
+                                               weight_pack[2], weight_pack[3],
+                                               weight_pack[4])
         scale = pseudo_gt.shape[0] // lr_gt.shape[0]
 
         def loss_fn(params):
@@ -211,7 +219,17 @@ class SRSystem:
             reg = wavelet_l1(params["encoder"], self.nerf_cfg.triplane,
                              self.cfg.weighted_regularization)
             loss = w_l2 * l2 + w_l1 * l1 + w_cons * cons + w_reg * reg
-            return loss, {"l2_hr": l2, "l1_hr": l1, "consistency": cons, "reg": reg}
+            aux = {"l2_hr": l2, "l1_hr": l1, "consistency": cons, "reg": reg}
+            if self.lpips_params is not None:
+                from ..utils.lpips import lpips as lpips_dist
+
+                percep = lpips_dist(
+                    self.lpips_params, jnp.clip(pred_lr, 0, 1)[None],
+                    jnp.clip(lr_gt, 0, 1)[None], net=self.lpips_net,
+                ).mean()
+                loss = loss + w_percep * percep
+                aux["consistency_perceptual"] = percep
+            return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         aux["loss"] = loss
@@ -316,7 +334,8 @@ class SRSystem:
                 weights = jnp.asarray(
                     [C(cfg.lambda_l2_hr, step), C(cfg.lambda_l1_hr, step),
                      C(cfg.lambda_lr_consistency, step),
-                     C(cfg.wavelet_regularization, step)],
+                     C(cfg.wavelet_regularization, step),
+                     C(cfg.lambda_lr_consistency_perceptual, step)],
                     jnp.float32,
                 )
                 state, aux = self._hr_step(state, ro, rd, pgt, lgt, weights)
@@ -334,7 +353,13 @@ class SRSystem:
     def evaluate(self, state: SRState, scene: SRSceneData, tag: str = "final_results") -> Dict:
         import jax.image as jimage
 
-        res_lr, res_hr, res_bilinear, res_ssim = [], [], [], []
+        lpips_fn = None
+        if self.lpips_params is not None:
+            from ..utils.lpips import make_lpips_fn
+
+            lpips_fn = make_lpips_fn(params=self.lpips_params, net=self.lpips_net)
+
+        res_lr, res_hr, res_bilinear, res_ssim, res_lpips = [], [], [], [], []
         per_frame = []
         for v in range(scene.num_views):
             lr_pred = self.render_view(state.params, state.occ, scene.lr.poses[v],
@@ -355,6 +380,9 @@ class SRSystem:
                 "PSNR_bilinear": psnr_fn(bilinear, hr_gt),
                 "SSIM_hr": ssim_fn(hr_pred, hr_gt),
             }
+            if lpips_fn is not None:
+                m["LPIPS_hr"] = lpips_fn(np.clip(hr_pred, 0, 1), hr_gt)
+                res_lpips.append(m["LPIPS_hr"])
             per_frame.append(m)
             res_lr.append(m["PSNR_lr"])
             res_hr.append(m["PSNR_hr"])
@@ -367,6 +395,8 @@ class SRSystem:
             "SSIM_hr": float(np.mean(res_ssim)),
             "per_frame": per_frame,
         }
+        if res_lpips:
+            results["LPIPS_hr"] = float(np.mean(res_lpips))
         if self.workspace:
             step = int(state.step)
             with open(os.path.join(self.workspace, f"{tag}_{step}.json"), "w") as f:

@@ -107,14 +107,28 @@ class SSIMMeter(_MeanMeter):
 
 
 class LPIPSMeter(_MeanMeter):
-    """Placeholder: pretrained LPIPS weights unavailable offline; reports NaN
-    unless given a callable ``fn(pred, truth) -> float``."""
+    """LPIPS meter (reference LPIPSMeter, utils.py:316-362), backed by the
+    pure-JAX LPIPS network in utils/lpips.py. This offline image ships no
+    pretrained backbone weights, so without ``fn``/weight paths the meter
+    reports NaN and is excluded from results."""
 
     name = "LPIPS"
 
     def __init__(self, fn=None):
         super().__init__()
         self.fn = fn
+
+    @classmethod
+    def from_weights(cls, backbone_path: str, lin_path: str, net: str = "vgg"):
+        from ..utils.lpips import make_lpips_fn
+
+        return cls(fn=make_lpips_fn(backbone_path, lin_path, net=net))
+
+    @classmethod
+    def from_params(cls, params, net: str = "vgg"):
+        from ..utils.lpips import make_lpips_fn
+
+        return cls(fn=make_lpips_fn(params=params, net=net))
 
     @property
     def available(self) -> bool:
