@@ -215,3 +215,76 @@ class TestSpreadSampling:
         ws2 = np.asarray(out2["weights_sum"])
         expect = 1 - np.exp(-2.0)
         np.testing.assert_allclose(ws2, expect, atol=0.08)
+
+
+class TestDeepEval:
+    """Test-time deep rendering (reference --max_steps 4096 eval path,
+    renderer.py:324-374): a wider eval budget must recover the dense
+    reference where the training budget truncates/subsamples."""
+
+    def _field_fog(self, xyzs, dirs=None):
+        # fog varying fast ALONG the march direction (z): every candidate is
+        # occupied -> budget overflow, and subsampling aliases badly
+        z = xyzs[..., 2]
+        sigma = 1.5 + 1.4 * jnp.sin(18.0 * z)
+        if dirs is None:
+            return sigma, xyzs  # geo = position so the color fn can see it
+        rgb = 0.5 + 0.5 * jnp.stack(
+            [jnp.sin(23 * z), jnp.cos(15 * z), jnp.sin(9 * z)], -1)
+        return sigma, rgb
+
+    def test_for_eval_config(self):
+        cfg = R.RenderConfig(samples_per_ray_budget=16, eval_samples_per_ray=64,
+                             fine_per_coarse=8, coarse_budget=4)
+        e = cfg.for_eval()
+        assert e.samples_per_ray_budget == 64
+        assert e.coarse_budget >= 64 // 8
+        assert R.RenderConfig(samples_per_ray_budget=16).for_eval().samples_per_ray_budget == 16
+
+    def test_deep_eval_recovers_dense(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=256,
+                             samples_per_ray_budget=12, eval_samples_per_ray=448,
+                             num_steps=448)
+        occ = R.init_occupancy(cfg)
+        occ_all = jnp.ones_like(occ.occ)
+        o, d = camera_rays(16)
+
+        def density(p):
+            return self._field_fog(p)
+
+        def color(dirs, geo):
+            z = geo.reshape(dirs.shape)[..., 2]
+            return 0.5 + 0.5 * jnp.stack(
+                [jnp.sin(23 * z), jnp.cos(15 * z), jnp.sin(9 * z)], -1)
+
+        def field(x, dd):
+            return self._field_fog(x, dd)
+
+        dense = R.render_dense(density, color, o, d, cfg, bg_color=0.0)
+        shallow = R.render_occgrid(field, o, d, occ_all, cfg, bg_color=0.0)
+        deep = R.render_occgrid(field, o, d, occ_all, cfg.for_eval(), bg_color=0.0)
+        ref = np.asarray(dense["image"])
+        err_shallow = np.abs(np.asarray(shallow["image"]) - ref).max()
+        err_deep = np.abs(np.asarray(deep["image"]) - ref).max()
+        assert err_deep < err_shallow * 0.5, (err_shallow, err_deep)
+        assert err_deep < 0.01, err_deep
+
+    def test_trainer_uses_eval_budget(self, tmp_path):
+        from trinerflet_tpu.models.nerf import NeRFConfig
+        from trinerflet_tpu.models.triplane import TriplaneConfig
+        from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=4, resolution=32, wavelet_scale=2),
+            bound=1.0, hidden_dim=16, hidden_dim_color=16)
+        rc = R.RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                            samples_per_ray_budget=8, eval_samples_per_ray=32)
+        tc = TrainConfig(iters=1, num_rays=64, eval_chunk=4096)
+        tr = Trainer(nerf_cfg, rc, tc)
+        assert tr.eval_render_cfg.samples_per_ray_budget == 32
+        assert tr.eval_chunk == 1024  # shrunk by the 4x budget ratio
+        state = tr.init_state()
+        img, dep = tr.render_image(
+            state.params, state.occ, np.eye(4, dtype=np.float32),
+            (32.0, 32.0, 16.0, 16.0), 16, 16)
+        assert img.shape == (16, 16, 3) and np.isfinite(img).all()

@@ -98,6 +98,9 @@ def get_params(argv=None):
     # performance knobs (TPU additions)
     parser.add_argument("--samples_per_ray_budget", type=int, default=24,
                         help="static compaction budget per ray (occgrid path)")
+    parser.add_argument("--eval_samples_per_ray", type=int, default=0,
+                        help="deep test-time budget (reference --max_steps 4096 "
+                        "eval); 0 = same as training budget")
     parser.add_argument("--eval_interval_stages", type=int, default=0,
                         help="evaluate val every N k-steps during training (0=end only)")
 
@@ -152,6 +155,7 @@ def build_configs(opt):
         density_scale=opt.density_scale,
         bg_radius=opt.bg_radius,
         samples_per_ray_budget=opt.samples_per_ray_budget,
+        eval_samples_per_ray=opt.eval_samples_per_ray,
     )
     train_cfg = TrainConfig(
         lr=opt.lr,

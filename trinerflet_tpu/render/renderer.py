@@ -56,6 +56,10 @@ class RenderConfig:
     bg_radius: float = -1.0
     # occgrid static shape budgets
     samples_per_ray_budget: int = 24   # compaction buffer per ray
+    # test-time deep rendering (reference --max_steps 4096 eval, the alive-ray
+    # while loop renderer.py:324-374): eval keeps up to this many occupied
+    # samples per ray instead of the training budget. 0 -> same as training.
+    eval_samples_per_ray: int = 0
     candidates_override: int = 0       # 0 -> ceil(bound * max_steps)
     # "per_ray": dense (N, B) layout, masked cumprod compositing (fastest);
     # "global": shared [N*B] buffer with segmented compositing (no padding
@@ -76,6 +80,21 @@ class RenderConfig:
         if self.candidates_override > 0:
             return self.candidates_override
         return int(math.ceil(self.bound * self.max_steps))
+
+    def for_eval(self) -> "RenderConfig":
+        """Deep test-time variant: widen the per-ray budget to
+        ``eval_samples_per_ray`` (and the coarse-segment budget to match) so
+        eval renders are exact wherever occupied counts fit the budget."""
+        if self.eval_samples_per_ray <= 0 or (
+            self.eval_samples_per_ray == self.samples_per_ray_budget
+        ):
+            return self
+        e = self.eval_samples_per_ray
+        return dataclasses.replace(
+            self,
+            samples_per_ray_budget=e,
+            coarse_budget=max(self.coarse_budget, -(-e // self.fine_per_coarse) + 2),
+        )
 
     @property
     def aabb(self) -> Tuple[float, ...]:

@@ -152,6 +152,15 @@ class Trainer:
             )
         chain.append(optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(train_cfg)(s)))
         self.optimizer = optax.chain(*chain)
+        # deep test-time rendering: wider per-ray budget, smaller ray chunks
+        # (keeps eval memory ~constant at chunk x budget samples)
+        self.eval_render_cfg = render_cfg.for_eval()
+        ratio = max(
+            1,
+            self.eval_render_cfg.samples_per_ray_budget
+            // max(render_cfg.samples_per_ray_budget, 1),
+        )
+        self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
@@ -315,19 +324,20 @@ class Trainer:
     # ------------------------------------------------------------- rendering
 
     def _render_chunk_impl(self, params, occ, rays_o, rays_d, bg_color, train: bool = False):
+        rcfg = self.render_cfg if train else self.eval_render_cfg
         planes = self.field.build_planes(params)
         if self.cfg.renderer == "occgrid":
             def field_fn(xyzs, dirs):
                 return self.field(params, planes, xyzs, dirs)
 
             return R.render_occgrid(
-                field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
+                field_fn, rays_o, rays_d, occ.occ, rcfg,
                 bg_color=bg_color, perturb=False, occ_coarse=occ.occ_coarse,
             )
         return R.render_dense(
             lambda x: self.field.density(params, planes, x),
             lambda d, g: self.field.color(params, d, g),
-            rays_o, rays_d, self.render_cfg, bg_color=bg_color, perturb=False,
+            rays_o, rays_d, rcfg, bg_color=bg_color, perturb=False,
         )
 
     def render_rays(self, params, occ, rays_o, rays_d, H, W, bg_color=None):
@@ -348,7 +358,7 @@ class Trainer:
         rays_o = np.asarray(rays_o).reshape(-1, 3)
         rays_d = np.asarray(rays_d).reshape(-1, 3)
         n = H * W
-        chunk = self.cfg.eval_chunk
+        chunk = self.eval_chunk
         imgs, deps = [], []
         bg = jnp.full((chunk, 3), bg_color, jnp.float32)
         for s in range(0, n, chunk):
