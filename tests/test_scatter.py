@@ -1,0 +1,82 @@
+"""blocked_scatter_add must match plain scatter-add exactly-ish (fp32 add
+order differs) across skew patterns: uniform, clustered, collisions, empty
+tiles, non-multiple sizes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trinerflet_tpu.ops.scatter import (
+    blocked_scatter_add,
+    scatter_add_rows,
+    xla_scatter_add,
+)
+
+
+def _check(idx, payload, num_rows, **kw):
+    ref = np.zeros((num_rows, payload.shape[1]), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(payload, np.float64))
+    got = np.asarray(blocked_scatter_add(jnp.asarray(idx), jnp.asarray(payload),
+                                         num_rows, **kw))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_rows,tile,block", [(1000, 128, 64), (4096, 256, 128)])
+def test_uniform_random(num_rows, tile, block):
+    rng = np.random.default_rng(0)
+    n = 5000
+    idx = rng.integers(0, num_rows, n).astype(np.int32)
+    pay = rng.standard_normal((n, 8)).astype(np.float32)
+    _check(idx, pay, num_rows, tile=tile, block=block)
+
+
+def test_heavy_collisions_single_row():
+    rng = np.random.default_rng(1)
+    n = 3000
+    idx = np.full(n, 7, np.int32)  # everything lands on one row
+    pay = rng.standard_normal((n, 4)).astype(np.float32)
+    _check(idx, pay, 512, tile=128, block=64)
+
+
+def test_clustered_and_empty_tiles():
+    rng = np.random.default_rng(2)
+    n = 4000
+    # all indices inside one tile; most tiles empty
+    idx = (rng.integers(0, 100, n) + 2048).astype(np.int32)
+    pay = rng.standard_normal((n, 16)).astype(np.float32)
+    _check(idx, pay, 8192, tile=512, block=128)
+
+
+def test_non_multiple_rows_and_extremes():
+    rng = np.random.default_rng(3)
+    n = 1537
+    num_rows = 3001  # not a multiple of tile
+    idx = np.concatenate([[0, num_rows - 1], rng.integers(0, num_rows, n - 2)]).astype(np.int32)
+    pay = rng.standard_normal((n, 5)).astype(np.float32)
+    _check(idx, pay, num_rows, tile=256, block=64)
+
+
+def test_matches_xla_path_and_dispatch():
+    rng = np.random.default_rng(4)
+    n, rows = 2048, 1024
+    idx = rng.integers(0, rows, n).astype(np.int32)
+    pay = rng.standard_normal((n, 8)).astype(np.float32)
+    a = np.asarray(xla_scatter_add(jnp.asarray(idx), jnp.asarray(pay), rows))
+    b = np.asarray(scatter_add_rows(jnp.asarray(idx), jnp.asarray(pay), rows,
+                                    strategy="blocked"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+    c = np.asarray(scatter_add_rows(jnp.asarray(idx), jnp.asarray(pay), rows))
+    np.testing.assert_allclose(a, c, rtol=2e-5, atol=1e-5)
+
+
+def test_grad_flows_through_payload():
+    rng = np.random.default_rng(5)
+    idx = jnp.asarray(rng.integers(0, 64, 256), jnp.int32)
+    pay = jnp.asarray(rng.standard_normal((256, 4)), jnp.float32)
+
+    def f(p):
+        return blocked_scatter_add(idx, p, 64, tile=32, block=32).sum()
+
+    g = jax.grad(f)(pay)
+    np.testing.assert_allclose(np.asarray(g), 1.0)

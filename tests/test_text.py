@@ -1,0 +1,88 @@
+"""CLIP text encoder, BPE tokenizer, and prompt processor (reference
+threestudio prompt_processors)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trinerflet_tpu.sr.text import (
+    CLIPTokenizer,
+    PromptProcessor,
+    TextConfig,
+    init_text_params,
+    text_encode,
+)
+
+TINY = TextConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                  intermediate_size=64, max_length=16)
+
+
+def test_text_encode_shapes_and_causality():
+    params = init_text_params(jax.random.PRNGKey(0), TINY)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 16)), jnp.int32)
+    h = text_encode(params, TINY, toks)
+    assert h.shape == (2, 16, 32)
+    # causality: changing a LATER token must not affect earlier positions
+    toks2 = toks.at[:, 10].set((toks[:, 10] + 1) % 64)
+    h2 = text_encode(params, TINY, toks2)
+    np.testing.assert_allclose(np.asarray(h[:, :10]), np.asarray(h2[:, :10]),
+                               atol=1e-5)
+    assert float(jnp.abs(h[:, 10:] - h2[:, 10:]).max()) > 1e-6
+
+
+def _write_tokenizer(tmp_path):
+    # micro BPE: letters + a few merges
+    letters = list("abcdefghijklmnopqrstuvwxyz ")
+    vocab = {}
+    for ch in letters:
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    for tok in ["he", "ll", "llo</w>", "hello</w>"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = ["h e", "l l", "ll o</w>", "he llo</w>"]
+    vp = str(tmp_path / "vocab.json")
+    mp = str(tmp_path / "merges.txt")
+    with open(vp, "w") as f:
+        json.dump(vocab, f)
+    with open(mp, "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+    return vp, mp, vocab
+
+
+def test_tokenizer_bpe_merges(tmp_path):
+    vp, mp, vocab = _write_tokenizer(tmp_path)
+    tok = CLIPTokenizer(vp, mp, max_length=8)
+    ids = tok("hello")[0]
+    assert ids[0] == vocab["<|startoftext|>"]
+    assert ids[1] == vocab["hello</w>"]  # full merge chain applied
+    assert ids[2] == vocab["<|endoftext|>"]
+    assert ids.shape == (8,)
+    # unknown chars fall back without crashing; padding fills with eos
+    ids2 = tok("zq")[0]
+    assert ids2.shape == (8,)
+
+
+def test_prompt_processor_cache_and_fallbacks(tmp_path):
+    vp, mp, _ = _write_tokenizer(tmp_path)
+    tok = CLIPTokenizer(vp, mp, max_length=16)
+    params = init_text_params(jax.random.PRNGKey(0), TINY)
+    pp = PromptProcessor("hello", "", params=params, cfg=TINY, tokenizer=tok,
+                         cache_dir=str(tmp_path / "cache"))
+    assert pp.available
+    c1, u1 = pp()
+    assert c1.shape == (1, 16, 32)
+    c2, u2 = pp()  # second call hits the npz cache
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+    pre = PromptProcessor(embeds=(c1, u1))
+    assert pre.available and pre()[0] is c1
+
+    empty = PromptProcessor("x")
+    assert not empty.available
+    with pytest.raises(NotImplementedError):
+        empty()

@@ -1,0 +1,131 @@
+"""Scatter-add without XLA scatters: sort + blocked one-hot matmul.
+
+XLA lowers ``zeros.at[idx].add(rows)`` on TPU to a serialized per-element
+update stream (~5-6 ns per float32 lane, PERF.md) — 670 ms/step of the round-1
+bench lives in exactly three such scatters (the triplane gradient). This
+module reformulates unordered scatter-add as MXU work:
+
+1. sort the row indices (``lax.sort``; ~28 ms/M keys, the only serial-ish op),
+2. carve the sorted stream into fixed ``block``-row chunks that each target a
+   single ``tile``-row span of the output (a tile never splits a block, so a
+   block's contribution is a dense (tile, D) panel),
+3. ``lax.scan`` over blocks: build the block's one-hot matrix with a
+   broadcasted-iota compare (no memory traffic) and accumulate
+   ``onehot.T @ payload`` into the donated output with a dynamic-slice
+   read-modify-write.
+
+Everything is gathers, cumsums, one matmul per block, and in-place dense
+updates — the exact op mix this backend executes at full speed. This is the
+TPU replacement for the CUDA ``atomicAdd`` accumulation in the reference's
+grid/triplane backward kernels (aux_libs/gridencoder/src/gridencoder.cu:249,
+and the grad path of F.grid_sample).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scatter_add_rows", "blocked_scatter_add", "xla_scatter_add"]
+
+
+def xla_scatter_add(idx: jnp.ndarray, payload: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """Reference path: plain XLA scatter-add (serialized on TPU)."""
+    out = jnp.zeros((num_rows, payload.shape[1]), jnp.float32)
+    return out.at[idx].add(payload.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("num_rows", "tile", "block"))
+def blocked_scatter_add(
+    idx: jnp.ndarray,        # (N,) int32 row indices in [0, num_rows)
+    payload: jnp.ndarray,    # (N, D)
+    num_rows: int,
+    tile: int = 2048,
+    block: int = 256,
+) -> jnp.ndarray:
+    """out[i] = sum of payload rows with idx == i, as sort + one-hot matmuls.
+
+    Exact in fp32 (one-hot products are exact; only the add order differs from
+    the scatter path). Returns (num_rows, D) float32.
+    """
+    N, D = payload.shape
+    num_tiles = -(-num_rows // tile)
+    padded_rows = num_tiles * tile
+    # worst-case block count: every tile wastes at most one partial block
+    num_blocks = N // block + num_tiles
+
+    order = jnp.argsort(idx)
+    sidx = jnp.take(idx, order)
+    tile_of = sidx // tile
+
+    # per-tile extent in the sorted stream
+    starts = jnp.searchsorted(tile_of, jnp.arange(num_tiles + 1, dtype=tile_of.dtype))
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    blocks_per_tile = -(-counts // block)  # ceil
+
+    # block table: tile id, rank within tile, start position in sorted stream
+    cum_blocks = jnp.cumsum(blocks_per_tile)
+    blk_tile = jnp.repeat(
+        jnp.arange(num_tiles, dtype=jnp.int32), blocks_per_tile,
+        total_repeat_length=num_blocks,
+    )
+    # blocks beyond the true total alias tile (num_tiles - 1) with rank past
+    # its count -> fully masked below
+    blk_rank = (
+        jnp.arange(num_blocks, dtype=jnp.int32)
+        - jnp.take(jnp.concatenate([jnp.zeros((1,), cum_blocks.dtype), cum_blocks]),
+                   blk_tile).astype(jnp.int32)
+    )
+    blk_start = jnp.take(starts, blk_tile).astype(jnp.int32) + blk_rank * block
+    blk_end = jnp.take(starts, blk_tile + 1).astype(jnp.int32)
+
+    # gather each block's samples (positions clamped; invalid lanes masked)
+    pos = blk_start[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
+    lane_ok = pos < blk_end[:, None]
+    pos = jnp.minimum(pos, N - 1)
+    sample = jnp.take(order, pos.reshape(-1))
+    local = jnp.take(sidx, pos.reshape(-1)).reshape(num_blocks, block)
+    local = local - blk_tile[:, None] * tile
+    local = jnp.where(lane_ok, local, -1)  # -1 -> one-hot row of zeros
+    pay = jnp.take(payload.astype(jnp.float32), sample, axis=0)
+    pay = pay.reshape(num_blocks, block, D)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
+
+    def body(out, xs):
+        t, lidx, p = xs
+        onehot = (lidx[:, None] == lanes).astype(jnp.float32)  # (block, tile)
+        contrib = jax.lax.dot_general(
+            onehot, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, D)
+        base = t * tile
+        cur = jax.lax.dynamic_slice(out, (base, 0), (tile, D))
+        out = jax.lax.dynamic_update_slice(out, cur + contrib, (base, 0))
+        return out, None
+
+    out = jnp.zeros((padded_rows, D), jnp.float32)
+    out, _ = jax.lax.scan(body, out, (blk_tile, local, pay))
+    return out[:num_rows]
+
+
+def scatter_add_rows(
+    idx: jnp.ndarray,
+    payload: jnp.ndarray,
+    num_rows: int,
+    strategy: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch: 'xla' | 'blocked' | 'auto' (blocked on TPU-sized problems,
+    plain scatter for small ones where sort overhead dominates)."""
+    if strategy == "xla":
+        return xla_scatter_add(idx, payload, num_rows)
+    if strategy == "blocked":
+        return blocked_scatter_add(idx, payload, num_rows)
+    N = idx.shape[0]
+    if N >= 65536 and num_rows >= 16384:
+        tile = min(2048, 1 << max(8, (num_rows - 1).bit_length() - 7))
+        return blocked_scatter_add(idx, payload, num_rows, tile=tile)
+    return xla_scatter_add(idx, payload, num_rows)

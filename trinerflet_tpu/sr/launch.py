@@ -75,18 +75,70 @@ def build(cfg_dict, workspace):
 
     g_dict = cfg_dict.get("guidance", {})
     g_kind = g_dict.pop("kind", "resize")
+    weights = g_dict.pop("weights", {})  # checkpoint paths for 'diffusion'
     gcfg = parse_structured(GuidanceConfig, g_dict)
     if g_kind == "oracle":
         guidance = make_oracle_guidance(gcfg, jnp.asarray(scene.hr.images[..., :3]).mean(0, keepdims=True))
     elif g_kind == "resize":
         guidance = make_resize_guidance(gcfg, scale=scene.scale)
+    elif g_kind == "diffusion":
+        guidance = build_diffusion_guidance(gcfg, weights, workspace)
     else:
-        raise ValueError(
-            f"guidance kind {g_kind!r} unavailable offline; 'diffusion' requires "
-            "x4-upscaler weights (plug a denoiser into sr.guidance.UpscalerGuidance)"
+        raise ValueError(f"unknown guidance kind {g_kind!r}")
+
+    lpips_params = None
+    lp = cfg_dict.get("lpips", {})
+    if lp.get("backbone_path") and lp.get("lin_path"):
+        from ..utils.lpips import load_torch_state_dict, _load_any
+
+        lpips_params = load_torch_state_dict(
+            _load_any(lp["backbone_path"]), _load_any(lp["lin_path"]),
+            net=lp.get("net", "vgg"),
         )
-    system = SRSystem(nerf_cfg, render_cfg, sys_cfg, guidance, workspace=workspace)
+    system = SRSystem(nerf_cfg, render_cfg, sys_cfg, guidance, workspace=workspace,
+                      lpips_params=lpips_params, lpips_net=lp.get("net", "vgg"))
     return system, scene
+
+
+def build_diffusion_guidance(gcfg, weights: dict, workspace: str):
+    """Real SD x4-upscaler guidance from a diffusers checkpoint directory
+    layout: unet/{config.json,*.safetensors}, vae/{...},
+    text_encoder/{config.json,*.safetensors}, tokenizer/{vocab.json,merges.txt}.
+    (Reference: StableDiffusionUpscalePipeline load,
+    stable_diffusion_guidance_sr.py:94-97.)"""
+    import jax.numpy as jnp
+
+    from .diffusion import (
+        load_safetensors_params, make_unet_denoiser,
+        unet_config_from_json, vae_config_from_json, vae_decode, vae_encode,
+    )
+    from .guidance import UpscalerGuidance
+    from .text import CLIPTokenizer, PromptProcessor, TextConfig, text_encode
+
+    unet_cfg = unet_config_from_json(weights["unet_config"])
+    unet_params = load_safetensors_params(weights["unet_path"])
+    vae_cfg = vae_config_from_json(weights["vae_config"])
+    vae_params = load_safetensors_params(weights["vae_path"])
+
+    if weights.get("text_encoder_path"):
+        tcfg = TextConfig.from_json(weights["text_config"])
+        tparams = load_safetensors_params(weights["text_encoder_path"])
+        tok = CLIPTokenizer(weights["tokenizer_vocab"], weights["tokenizer_merges"])
+        pp = PromptProcessor(weights.get("prompt", ""),
+                             weights.get("negative_prompt", ""),
+                             params=tparams, cfg=tcfg, tokenizer=tok,
+                             cache_dir=workspace)
+        cond, uncond = pp()
+    else:  # precomputed embedding files (prompt processor ran elsewhere)
+        z = np.load(weights["prompt_embeds"])
+        cond, uncond = jnp.asarray(z["cond"]), jnp.asarray(z["uncond"])
+
+    denoiser = make_unet_denoiser(unet_params, unet_cfg, cond, uncond)
+    return UpscalerGuidance(
+        gcfg, denoiser,
+        encode=lambda x: vae_encode(vae_params, vae_cfg, 2.0 * x - 1.0),
+        decode=lambda z: 0.5 * (vae_decode(vae_params, vae_cfg, z) + 1.0),
+    )
 
 
 def main(argv=None):
