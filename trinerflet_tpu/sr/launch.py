@@ -37,6 +37,17 @@ def build(cfg_dict, workspace):
             scale=data_cfg.get("scale_ratio", 4),
             background_color=data_cfg.get("background_color", 0.0),
         )
+    elif data_cfg.get("llff", False):
+        from .data import load_sr_llff
+
+        scene = load_sr_llff(
+            data_cfg["root"],
+            split=data_cfg.get("split", "train"),
+            hr_downscale=data_cfg.get("hr_downscale", 4),
+            scale_ratio=data_cfg.get("scale_ratio", 4),
+            llff_hold=data_cfg.get("llff_hold", 8),
+            ndc=data_cfg.get("ndc", True),
+        )
     else:
         scene = load_sr_blender(
             data_cfg["root"],

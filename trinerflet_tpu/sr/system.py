@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.rays import rays_for_pixels, rays_full_image, sample_ray_batch
+from ..data.rays import rays_full_image, sample_ray_batch
 from ..models.nerf import NeRFConfig, NeRFField, init_nerf_params
 from ..models.triplane import wavelet_l1
 from ..render import renderer as R
@@ -66,6 +66,9 @@ class SRConfig:
     lambda_sds: ScheduledFloat = 0.0
     wavelet_regularization: ScheduledFloat = 0.1
     weighted_regularization: bool = False
+    # phase 1 consumes a globally shuffled LR ray stream instead of per-view
+    # random sampling (reference low_res_shuffled, multiview_sr.py:357-387)
+    low_res_shuffled: bool = False
     # planes-only finetuning
     sr_planes_only: bool = False
     sr_min_res: int = -1
@@ -112,6 +115,7 @@ class SRSystem:
             optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(tc)(s)),
         )
         self._lr_step = jax.jit(self._lr_step_impl, donate_argnums=(0,))
+        self._lr_stream_step = jax.jit(self._lr_stream_step_impl, donate_argnums=(0,))
         self._hr_step = jax.jit(self._hr_step_impl, donate_argnums=(0,))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("mode",))
@@ -195,6 +199,25 @@ class SRSystem:
         aux["loss"] = loss
         return self._apply_updates(state, grads, aux)
 
+    def _lr_stream_step_impl(self, state: SRState, rays_o, rays_d, rgb, weight_pack):
+        """Phase-1 step on a pre-shuffled ray chunk (low_res_shuffled) or on
+        precomputed LLFF/NDC rays."""
+        rng, k_perturb = jax.random.split(state.rng)
+        state = state._replace(rng=rng)
+        w_lr, w_reg = weight_pack[0], weight_pack[1]
+
+        def loss_fn(params):
+            out = self._render(params, state.occ, rays_o, rays_d, "low_res",
+                               rng=k_perturb, perturb=True)
+            loss_lr = jnp.mean((out["image"] - rgb) ** 2)
+            reg = wavelet_l1(params["encoder"], self.nerf_cfg.triplane,
+                             self.cfg.weighted_regularization)
+            return w_lr * loss_lr + w_reg * reg, {"loss_lr": loss_lr, "reg": reg}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        aux["loss"] = loss
+        return self._apply_updates(state, grads, aux)
+
     # ------------------------------------------------------------ phase 2
 
     def _hr_step_impl(self, state: SRState, rays_o, rays_d, pseudo_gt, lr_gt,
@@ -252,8 +275,15 @@ class SRSystem:
     def _render_chunk_impl(self, params, occ, rays_o, rays_d, mode: str = "full"):
         return self._render(params, occ, rays_o, rays_d, mode)
 
-    def render_view(self, params, occ, pose, intrinsics, H, W, mode="full"):
-        rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
+    def render_view(self, params, occ, pose, intrinsics, H, W, mode="full",
+                    rays=None):
+        """Full-frame chunked render; ``rays=(rays_o, rays_d)`` overrides the
+        pinhole camera (LLFF/NDC precomputed grids)."""
+        if rays is not None:
+            rays_o = np.asarray(rays[0]).reshape(-1, 3)
+            rays_d = np.asarray(rays[1]).reshape(-1, 3)
+        else:
+            rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
         chunk = self.cfg.eval_chunk
         imgs = []
         for s in range(0, H * W, chunk):
@@ -271,13 +301,24 @@ class SRSystem:
 
     def fit(self, state: SRState, scene: SRSceneData, log_every: int = 200,
             callback=None) -> SRState:
+        from .data import shuffled_ray_stream, view_ray_grid
+
         cfg = self.cfg
         scale = scene.scale
+        pregen = scene.pregen_rays
         lr_images = jnp.asarray(scene.lr.images[..., :3])
-        lr_poses = jnp.asarray(scene.lr.poses)
-        lr_intr = jnp.asarray(scene.lr.intrinsics, jnp.float32)
-        hr_poses = scene.hr.poses
-        hr_intr = scene.hr.intrinsics
+        stream = None
+        if cfg.low_res_shuffled:
+            stream = shuffled_ray_stream(scene.lr, cfg.num_rays_lr, cfg.seed,
+                                         cfg.background_color)
+        elif pregen:
+            lr_ro = jnp.asarray(scene.lr.rays_o)
+            lr_rd = jnp.asarray(scene.lr.rays_d)
+        else:
+            lr_poses = jnp.asarray(scene.lr.poses)
+            lr_intr = jnp.asarray(scene.lr.intrinsics, jnp.float32)
+        hr_grids = [view_ray_grid(scene.hr, v) for v in range(scene.num_views)]
+        hr_intr = getattr(scene.hr, "intrinsics", None)
         Hh, Wh = scene.hr.H, scene.hr.W
         V = scene.num_views
 
@@ -298,13 +339,28 @@ class SRSystem:
                     [C(cfg.lambda_lr, step), C(cfg.wavelet_regularization, step)],
                     jnp.float32,
                 )
-                state, aux = self._lr_step(state, lr_images, lr_poses, lr_intr, weights)
+                if stream is not None:
+                    ro_c, rd_c, rgb_c = next(stream)
+                    state, aux = self._lr_stream_step(
+                        state, jnp.asarray(ro_c), jnp.asarray(rd_c),
+                        jnp.asarray(rgb_c), weights,
+                    )
+                elif pregen:
+                    k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), step)
+                    from ..data.rays import sample_ray_batch_pregen
+
+                    ro_c, rd_c, rgb_c = sample_ray_batch_pregen(
+                        k, lr_images, lr_ro, lr_rd, cfg.num_rays_lr
+                    )
+                    state, aux = self._lr_stream_step(state, ro_c, rd_c, rgb_c, weights)
+                else:
+                    state, aux = self._lr_step(state, lr_images, lr_poses, lr_intr, weights)
             else:
                 v = int(host_rng.integers(0, V))
                 if step - cache_step[v] >= cfg.hr_fit_refresh_every:
                     hr_render = self.render_view(
-                        state.params, state.occ, hr_poses[v], hr_intr, Hh, Wh,
-                        mode="high_res",
+                        state.params, state.occ, None, hr_intr, Hh, Wh,
+                        mode="high_res", rays=hr_grids[v],
                     )
                     k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), step)
                     pseudo = self.guidance.generate_sr(
@@ -320,11 +376,11 @@ class SRSystem:
                 x0l = int(host_rng.integers(0, scene.lr.H - cfg.crop_size_lr + 1))
                 y0l = int(host_rng.integers(0, scene.lr.W - cfg.crop_size_lr + 1))
                 x0, y0 = x0l * scale, y0l * scale
-                dy, dx = np.meshgrid(np.arange(crop_hr), np.arange(crop_hr), indexing="ij")
-                pix = ((x0 + dy) * Wh + (y0 + dx)).reshape(-1).astype(np.int32)
-                ro, rd = rays_for_pixels(
-                    jnp.asarray(hr_poses), jnp.asarray(hr_intr, jnp.float32), Wh,
-                    jnp.full((len(pix),), v, jnp.int32), jnp.asarray(pix),
+                ro = jnp.asarray(
+                    hr_grids[v][0][x0 : x0 + crop_hr, y0 : y0 + crop_hr].reshape(-1, 3)
+                )
+                rd = jnp.asarray(
+                    hr_grids[v][1][x0 : x0 + crop_hr, y0 : y0 + crop_hr].reshape(-1, 3)
                 )
                 pgt = jnp.asarray(cache[v, x0 : x0 + crop_hr, y0 : y0 + crop_hr])
                 lgt = jnp.asarray(
@@ -361,13 +417,15 @@ class SRSystem:
 
         res_lr, res_hr, res_bilinear, res_ssim, res_lpips = [], [], [], [], []
         per_frame = []
+        from .data import view_ray_grid
+
         for v in range(scene.num_views):
-            lr_pred = self.render_view(state.params, state.occ, scene.lr.poses[v],
-                                       scene.lr.intrinsics, scene.lr.H, scene.lr.W,
-                                       mode="low_res")
-            hr_pred = self.render_view(state.params, state.occ, scene.hr.poses[v],
-                                       scene.hr.intrinsics, scene.hr.H, scene.hr.W,
-                                       mode="high_res")
+            lr_pred = self.render_view(state.params, state.occ, None, None,
+                                       scene.lr.H, scene.lr.W, mode="low_res",
+                                       rays=view_ray_grid(scene.lr, v))
+            hr_pred = self.render_view(state.params, state.occ, None, None,
+                                       scene.hr.H, scene.hr.W, mode="high_res",
+                                       rays=view_ray_grid(scene.hr, v))
             lr_gt = scene.lr.images[v][..., :3]
             hr_gt = scene.hr.images[v][..., :3]
             bilinear = np.asarray(
