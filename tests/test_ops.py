@@ -183,7 +183,7 @@ class TestMarchAndComposite:
         sig_np = rng.random(M).astype(np.float32) * 3.0
         rgb_np = rng.random((M, 3)).astype(np.float32)
         sig, rgb = jnp.asarray(sig_np), jnp.asarray(rgb_np)
-        ws, depth, img = RM.composite_compact(sig, rgb, comp, N, T_thresh=0.0)
+        ws, depth, img, _zv = RM.composite_compact(sig, rgb, comp, N, T_thresh=0.0)
 
         # dense reference: scatter compacted samples back per ray
         ws_ref = np.zeros(N)
@@ -216,7 +216,7 @@ class TestMarchAndComposite:
                                   m_budget=1024, bound=1.0)
         sig = jnp.full((1024,), 1e4, jnp.float32)  # opaque everywhere
         rgb = jnp.ones((1024, 3), jnp.float32)
-        ws, _, img = RM.composite_compact(sig, rgb, comp, N, T_thresh=1e-4)
+        ws, _, img, _zv = RM.composite_compact(sig, rgb, comp, N, T_thresh=1e-4)
         np.testing.assert_allclose(np.asarray(ws), 1.0, atol=1e-3)
         np.testing.assert_allclose(np.asarray(img), 1.0, atol=1e-3)
 
@@ -231,7 +231,7 @@ class TestMarchAndComposite:
                                   m_budget=512, bound=1.0)
 
         def loss(sig):
-            ws, dep, img = RM.composite_compact(sig, jnp.ones((512, 3)), comp, N)
+            ws, dep, img, _zv = RM.composite_compact(sig, jnp.ones((512, 3)), comp, N)
             return img.sum() + ws.sum()
 
         g = jax.grad(loss)(jnp.full((512,), 0.5, jnp.float32))

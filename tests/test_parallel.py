@@ -83,3 +83,43 @@ class TestShardedTraining:
         state = tr.fit(state, scene, log_every=0,
                        callback=lambda s, a: losses.append(float(a["loss"])))
         assert np.mean(losses[:5]) > np.mean(losses[-5:])
+
+
+class TestMultihost:
+    """Multi-host eval collation (reference DDP all_gather, utils.py:1270-1289).
+    Single-process here: slicing covers all views and allgather is identity."""
+
+    def test_view_slice_and_allgather_single_process(self):
+        import numpy as np
+        from trinerflet_tpu.parallel.multihost import (
+            allgather_rows, is_primary, process_view_slice)
+
+        assert is_primary()
+        assert process_view_slice(5) == [0, 1, 2, 3, 4]
+        rows = np.asarray([[2, 30.0, 0.9], [0, 28.0, 0.8], [1, 29.0, 0.85]], np.float32)
+        out = allgather_rows(rows, 3)
+        assert out[:, 0].tolist() == [0.0, 1.0, 2.0]
+
+    def test_trainer_eval_reports_ssim_per_image(self, tmp_path):
+        import numpy as np
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+        from trinerflet_tpu.models.nerf import NeRFConfig
+        from trinerflet_tpu.models.triplane import TriplaneConfig
+        from trinerflet_tpu.render.renderer import RenderConfig
+        from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+        scene = make_synthetic_scene(num_views=2, H=24, W=24, num_steps=32)
+        tr = Trainer(
+            NeRFConfig(triplane=TriplaneConfig(channels=4, resolution=32,
+                                               wavelet_scale=2),
+                       bound=1.0, hidden_dim=16, hidden_dim_color=16),
+            RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                         samples_per_ray_budget=8),
+            TrainConfig(iters=1, num_rays=64, eval_chunk=1024),
+            workspace=str(tmp_path),
+        )
+        state = tr.init_state()
+        res = tr.evaluate(state, scene)
+        assert len(res["per_image"]) == 2
+        assert {"view", "PSNR", "SSIM"} <= set(res["per_image"][0])
+        assert np.isfinite(res["PSNR"]) and np.isfinite(res["SSIM"])

@@ -176,6 +176,6 @@ class TestErrorMap:
         state = trainer.init_state()
         state = trainer.fit(state, scene, log_every=0)
         em = np.asarray(state.error_map)
-        assert em.shape == (4, 128 * 128)
+        assert em.shape == (4, 48 * 48)  # map res follows min(128, H, W)
         assert not np.allclose(em, 1.0)  # updated away from init
         assert (em >= 0).all()

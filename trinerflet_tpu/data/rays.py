@@ -14,6 +14,7 @@ entirely.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -77,15 +78,18 @@ def sample_ray_batch_error_map(
     poses: jnp.ndarray,
     intrinsics,
     num_rays: int,
-    error_map: jnp.ndarray,    # (V, 128*128) nonnegative sampling weights
+    error_map: jnp.ndarray,    # (V, G*G) nonnegative sampling weights
 ):
     """Error-weighted ray sampling (reference get_rays error_map branch,
-    utils.py:110-125): draw coarse 128x128 cells proportional to the running
+    utils.py:110-125): draw coarse GxG cells proportional to the running
     per-cell training error, jitter to a full-res pixel, and return the coarse
-    cell ids so the caller can EMA-update the map.
+    cell ids so the caller can EMA-update the map. The grid size G is derived
+    from the map's (static) shape — the reference hardcodes 128 even for tiny
+    images; the trainer passes min(128, H, W).
     """
     V, H, W = images.shape[:3]
-    G = 128
+    G = int(round(math.isqrt(error_map.shape[1])))
+    assert G * G == error_map.shape[1], error_map.shape
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     img_idx = jax.random.randint(k1, (num_rays,), 0, V)
     # inverse-CDF draw per ray on its view's error map (flat binary search;
@@ -97,7 +101,7 @@ def sample_ray_batch_error_map(
     base = img_idx * (G * G)
     lo = jnp.zeros((num_rays,), jnp.int32)
     hi = jnp.full((num_rays,), G * G, jnp.int32)
-    for _ in range(14):  # ceil(log2(16384))
+    for _ in range(max(1, (G * G - 1).bit_length())):
         mid = (lo + hi) // 2
         val = jnp.take(flat_cdf, base + jnp.minimum(mid, G * G - 1))
         go_right = val < u

@@ -448,7 +448,12 @@ def composite_compact(
     weights_sum = seg(w)
     depth = seg(w * samples.ts)
     image = seg(w[:, None] * rgbs)
-    return weights_sum, depth, image
+    # z-variance (reference nerfacc_utils z_variance output): E[z^2] - E[z]^2
+    # under the per-ray weight distribution, as one more segment sum
+    z2 = seg(w * samples.ts * samples.ts)
+    mean_z = depth / jnp.maximum(weights_sum, 1e-8)
+    z_var = jnp.maximum(z2 / jnp.maximum(weights_sum, 1e-8) - mean_z**2, 0.0)
+    return weights_sum, depth, image, z_var
 
 
 def composite_dense(

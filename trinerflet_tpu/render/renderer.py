@@ -411,10 +411,9 @@ def render_occgrid(
         else:
             comp = RM.compact_samples(rays_o, rays_d, march, m_budget=N * B, bound=cfg.bound)
             sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
-            ws, depth_raw, image = RM.composite_compact(
+            ws, depth_raw, image, z_var = RM.composite_compact(
                 cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
             )
-            z_var = jnp.zeros_like(ws)  # not tracked on the global-compaction path
             num_samples = comp.num_valid
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg

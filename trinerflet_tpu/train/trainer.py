@@ -44,7 +44,7 @@ from ..data.rays import (
 from ..models.nerf import NeRFConfig, NeRFField, init_nerf_params
 from ..models.triplane import wavelet_l1, grow_params
 from ..render import renderer as R
-from .metrics import PSNRMeter, SSIMMeter, psnr as psnr_fn
+from .metrics import psnr as psnr_fn
 
 __all__ = ["TrainConfig", "TrainState", "Trainer"]
 
@@ -403,7 +403,11 @@ class Trainer:
         data = self.scene_to_device(scene)
         if self.cfg.error_map and state.error_map is None and "poses" in data:
             state = state._replace(
-                error_map=jnp.ones((data["images"].shape[0], 128 * 128), jnp.float32)
+                error_map=jnp.ones(
+                    (data["images"].shape[0],
+                     min(128, data["images"].shape[1], data["images"].shape[2]) ** 2),
+                    jnp.float32,
+                )
             )
         total = self.cfg.iters + max(self.cfg.warmup_steps, 0)
         t0 = time.time()
@@ -442,10 +446,13 @@ class Trainer:
         save_dir: Optional[str] = None,
         tag: str = "results",
     ) -> Dict:
+        from ..parallel.multihost import allgather_rows, is_primary, process_view_slice
+
         params = state.ema_params if (use_ema and self.cfg.ema_decay > 0) else state.params
-        psnr_m, ssim_m = PSNRMeter(), SSIMMeter()
-        per_image = []
-        for v in range(scene.num_views):
+        rows = []
+        # each process renders its round-robin view shard; metric rows are
+        # allgathered afterwards (reference DDP eval, utils.py:1270-1289)
+        for v in process_view_slice(scene.num_views):
             if hasattr(scene, "rays_o") and getattr(scene, "rays_o", None) is not None:
                 img, _ = self.render_rays(
                     params, state.occ, scene.rays_o[v], scene.rays_d[v], scene.H, scene.W
@@ -457,17 +464,25 @@ class Trainer:
             gt = scene.images[v]
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + self.cfg.background_color * (1 - gt[..., 3:])
-            psnr_m.update(img, gt)
-            ssim_m.update(img, gt)
-            per_image.append({"view": v, "PSNR": psnr_fn(img, gt)})
+            from .metrics import ssim as ssim_fn
+
+            rows.append([float(v), psnr_fn(img, gt), ssim_fn(np.asarray(img), np.asarray(gt))])
             if save_dir:
                 import cv2
 
                 os.makedirs(save_dir, exist_ok=True)
                 bgr = (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8)
                 cv2.imwrite(os.path.join(save_dir, f"{tag}_{v:03d}.png"), bgr)
-        results = {**psnr_m.report2(), **ssim_m.report2(), "per_image": per_image}
-        if self.workspace:
+        table = allgather_rows(np.asarray(rows, np.float32).reshape(-1, 3),
+                               scene.num_views)
+        per_image = [{"view": int(r[0]), "PSNR": float(r[1]), "SSIM": float(r[2])}
+                     for r in table]
+        results = {
+            "PSNR": float(np.mean(table[:, 1])) if len(table) else float("nan"),
+            "SSIM": float(np.mean(table[:, 2])) if len(table) else float("nan"),
+            "per_image": per_image,
+        }
+        if self.workspace and is_primary():
             with open(os.path.join(self.workspace, f"{tag}.json"), "w") as f:
                 json.dump(results, f, indent=2)
         return results
