@@ -78,13 +78,17 @@ def main():
 
     data = trainer.scene_to_device(scene)
 
-    # warm up until the occupancy grid reflects actual scene content so the
-    # measured step carries a realistic marching/MLP workload (a fresh grid is
-    # nearly empty -> artificially cheap steps)
-    warm = 20 if smoke else 120
+    # warm up until the occupancy grid reflects actual scene content and has
+    # stabilized enough for the march auto-tune (a fresh grid is nearly empty
+    # -> artificially cheap steps; an unconverged one is diffuse -> no bbox
+    # clipping, unrepresentative of the steady state where training spends
+    # nearly all its time)
+    warm = 20 if smoke else 320
     for i in range(warm):
         if i % train_cfg.update_extra_interval == 0:
-            state = trainer._update_grid(state)
+            state = trainer._update_grid(
+                state, full=int(state.occ.iter_density) < 16)
+            trainer._maybe_retune_march(state)
         state, aux = trainer._train_step(state, data)
     warm_loss = float(aux["loss"])  # device->host copy: the only reliable sync
     # (block_until_ready on donated-state outputs returns early through the
@@ -94,7 +98,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(steps):
         if i % train_cfg.update_extra_interval == 0:
-            state = trainer._update_grid(state)
+            state = trainer._update_grid(
+                state, full=int(state.occ.iter_density) < 16)
         state, aux = trainer._train_step(state, data)
     final_loss = float(aux["loss"])
     dt = time.perf_counter() - t0

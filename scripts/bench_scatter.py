@@ -35,7 +35,7 @@ def timeit(fn, *args, reps=8):
 ms_x, out_x = timeit(jax.jit(lambda i, p: xla_scatter_add(i, p, ROWS)), idx, pay)
 print(f"xla scatter      : {ms_x:8.2f} ms", flush=True)
 
-for tile, block in [(1024, 256), (2048, 256), (2048, 512), (4096, 256), (4096, 512), (8192, 512)]:
+for tile, block in [(2048, 512), (2048, 1024), (4096, 1024), (8192, 1024), (4096, 2048), (8192, 2048)]:
     f = jax.jit(lambda i, p, t=tile, b=block: blocked_scatter_add(i, p, ROWS, tile=t, block=b))
     ms, out_b = timeit(f, idx, pay)
     err = float(jnp.abs(out_b - out_x).max())

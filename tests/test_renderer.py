@@ -288,3 +288,116 @@ class TestDeepEval:
             state.params, state.occ, np.eye(4, dtype=np.float32),
             (32.0, 32.0, 16.0, 16.0), 16, 16)
         assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+
+class TestPartialGridUpdate:
+    def test_rotating_partial_covers_every_cell_once(self):
+        """4 quarter-updates refresh EVERY cell exactly once: raising the
+        field 1 -> 9 must reach all cells; zeroing it must decay each cell by
+        exactly one 0.95 factor."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=16)
+        const = lambda v: (lambda p: jnp.full(p.shape[:-1], v))
+
+        s = R.init_occupancy(cfg)
+        s = R.update_density_grid(s, const(1.0), jax.random.PRNGKey(0), cfg)
+        for i in range(4):
+            s = s._replace(iter_density=jnp.asarray(i, jnp.int32))
+            s = R.update_density_grid(s, const(9.0), jax.random.PRNGKey(1),
+                                      cfg, fraction=0.25)
+        np.testing.assert_allclose(np.asarray(s.density_grid), 9.0, rtol=1e-6)
+        for i in range(4):
+            s = s._replace(iter_density=jnp.asarray(i, jnp.int32))
+            s = R.update_density_grid(s, const(0.0), jax.random.PRNGKey(2),
+                                      cfg, fraction=0.25)
+        np.testing.assert_allclose(np.asarray(s.density_grid), 9.0 * 0.95,
+                                   rtol=1e-6)
+
+    def test_partial_respects_untrained_cells(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=8)
+        s = R.init_occupancy(cfg)
+        grid = np.zeros((cfg.cascades, 8**3), np.float32)
+        grid[:, :100] = -1.0  # untrained
+        s = s._replace(density_grid=jnp.asarray(grid))
+        for i in range(4):
+            s = s._replace(iter_density=jnp.asarray(i, jnp.int32))
+            s = R.update_density_grid(s, lambda p: analytic_density(p)[0],
+                                      jax.random.PRNGKey(2), cfg, fraction=0.25)
+        assert (np.asarray(s.density_grid)[:, :100] == -1.0).all()
+
+
+class TestOccBBox:
+    def test_bbox_covers_occupied_cells(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, density_thresh=0.5)
+        s = R.init_occupancy(cfg)
+        s = R.update_density_grid(s, lambda p: analytic_density(p)[0],
+                                  jax.random.PRNGKey(0), cfg)
+        bbox = np.asarray(s.bbox)
+        # sphere of radius 0.5 at origin -> bbox within [-0.7, 0.7] and
+        # containing [-0.5, 0.5]
+        assert (bbox[:3] <= -0.45).all() and (bbox[3:] >= 0.45).all()
+        assert (bbox[:3] >= -0.75).all() and (bbox[3:] <= 0.75).all()
+        # empty occupancy -> full scene box
+        e = R.init_occupancy(cfg)
+        b = np.asarray(R._occupied_bbox(e.occ, cfg))
+        np.testing.assert_allclose(b, np.asarray(cfg.aabb))
+
+    def test_render_with_bbox_matches_without(self):
+        cfg = R.RenderConfig(bound=1.0, grid_size=64, max_steps=512,
+                             samples_per_ray_budget=220, density_thresh=0.5,
+                             coarse_budget=48)
+        s = R.init_occupancy(cfg)
+        s = R.update_density_grid(s, lambda p: analytic_density(p)[0],
+                                  jax.random.PRNGKey(0), cfg)
+        o, d = camera_rays(32)
+        a = R.render_occgrid(analytic_field, o, d, s.occ, cfg, bg_color=0.0,
+                             occ_coarse=s.occ_coarse)
+        b = R.render_occgrid(analytic_field, o, d, s.occ, cfg, bg_color=0.0,
+                             occ_coarse=s.occ_coarse, occ_bbox=s.bbox)
+        np.testing.assert_allclose(np.asarray(b["image"]),
+                                   np.asarray(a["image"]), atol=5e-3)
+        # tighter span with a shrunk static coarse count still matches
+        cfg2 = R.RenderConfig(**{**cfg.__dict__, "num_coarse_override": 16})
+        c = R.render_occgrid(analytic_field, o, d, s.occ, cfg2, bg_color=0.0,
+                             occ_coarse=s.occ_coarse, occ_bbox=s.bbox)
+        np.testing.assert_allclose(np.asarray(c["image"]),
+                                   np.asarray(a["image"]), atol=5e-3)
+
+    def test_trainer_retune_shrinks_span(self):
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+        from trinerflet_tpu.models.nerf import NeRFConfig
+        from trinerflet_tpu.models.triplane import TriplaneConfig
+        from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+        scene = make_synthetic_scene(num_views=2, H=24, W=24, num_steps=32)
+        tr = Trainer(
+            NeRFConfig(triplane=TriplaneConfig(channels=4, resolution=32,
+                                               wavelet_scale=2),
+                       bound=1.0, hidden_dim=16, hidden_dim_color=16),
+            R.RenderConfig(bound=1.0, grid_size=16, max_steps=1024,
+                           samples_per_ray_budget=8),
+            TrainConfig(iters=1, num_rays=64, eval_chunk=1024),
+        )
+        state = tr.init_state()
+        # craft a stabilized occupancy with a SMALL occupied pocket
+        occ = np.zeros_like(np.asarray(state.occ.occ))
+        occ[:, 6:9, 6:9, 6:9] = True
+        s_occ = state.occ._replace(
+            occ=jnp.asarray(occ),
+            bbox=jnp.asarray(R._occupied_bbox(jnp.asarray(occ), tr.render_cfg)),
+            iter_density=jnp.asarray(10, jnp.int32),
+        )
+        state = state._replace(occ=s_occ)
+        worst = int(np.ceil(1.0 * 1024 / tr.render_cfg.fine_per_coarse))
+        tr._maybe_retune_march(state)
+        assert 0 < tr.render_cfg.num_coarse_override < worst
+        assert tr._march_retunes == 1
+        # post-retune render still works
+        img, _ = tr.render_image(state.params, state.occ,
+                                 scene.poses[0], scene.intrinsics, 24, 24)
+        assert np.isfinite(img).all()
+        # bbox growing back to the full box re-tunes upward
+        s2 = s_occ._replace(bbox=jnp.asarray(tr.render_cfg.aabb, jnp.float32))
+        tr._maybe_retune_march(state._replace(occ=s2))
+        assert tr.render_cfg.num_coarse_override == worst or (
+            tr.render_cfg.num_coarse_override + 7
+        ) // 8 * 8 >= worst

@@ -149,12 +149,15 @@ def _quad_fwd(plane, coords):
 
 
 def _quad_bwd(res, g):
+    from .scatter import scatter_add_rows
+
     idx, w, marker, cmarker = res
     H, W, C = marker.shape[1:]
     gq_rows = (w[..., None] * g[:, None, :]).reshape(-1, 4 * C)  # (N, 4C)
-    gq = jnp.zeros((H * W, 4 * C), jnp.float32).at[idx].add(
-        gq_rows.astype(jnp.float32)
-    )  # the one scatter-add
+    # plane-gradient accumulation WITHOUT an XLA scatter: sort + blocked
+    # one-hot matmuls (ops/scatter.py; ~1.8x the serialized scatter on TPU
+    # at bench scale, exact in fp32). Small problems fall back to .at[].add.
+    gq = scatter_add_rows(idx, gq_rows.astype(jnp.float32), H * W)
     g_plane = _quad_unpack_grad(gq.reshape(H, W, 4 * C)).astype(marker.dtype)
     return g_plane, jnp.zeros((g.shape[0], 2), cmarker.dtype)
 

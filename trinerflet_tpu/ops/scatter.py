@@ -44,21 +44,33 @@ def blocked_scatter_add(
     payload: jnp.ndarray,    # (N, D)
     num_rows: int,
     tile: int = 2048,
-    block: int = 256,
+    block: int = 1024,
 ) -> jnp.ndarray:
     """out[i] = sum of payload rows with idx == i, as sort + one-hot matmuls.
 
     Exact in fp32 (one-hot products are exact; only the add order differs from
     the scatter path). Returns (num_rows, D) float32.
+
+    Data movement is ONE payload row-gather (into sorted order, with the index
+    carried as an extra fp32 column) — block extraction inside the scan is a
+    contiguous dynamic slice, which costs DMA bandwidth instead of the
+    serialized per-row gather rate.
     """
     N, D = payload.shape
+    assert num_rows < (1 << 24), "row index must stay exact in fp32"
     num_tiles = -(-num_rows // tile)
     padded_rows = num_tiles * tile
     # worst-case block count: every tile wastes at most one partial block
     num_blocks = N // block + num_tiles
 
     order = jnp.argsort(idx)
-    sidx = jnp.take(idx, order)
+    # sorted [index | payload] rows: one gather total
+    ext = jnp.concatenate(
+        [idx.astype(jnp.float32)[:, None], payload.astype(jnp.float32)], axis=1
+    )
+    sext = jnp.take(ext, order, axis=0)
+    sext = jnp.concatenate([sext, jnp.zeros((block, D + 1), jnp.float32)])
+    sidx = sext[:N, 0].astype(jnp.int32)
     tile_of = sidx // tile
 
     # per-tile extent in the sorted stream
@@ -82,25 +94,21 @@ def blocked_scatter_add(
     blk_start = jnp.take(starts, blk_tile).astype(jnp.int32) + blk_rank * block
     blk_end = jnp.take(starts, blk_tile + 1).astype(jnp.int32)
 
-    # gather each block's samples (positions clamped; invalid lanes masked)
-    pos = blk_start[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
-    lane_ok = pos < blk_end[:, None]
-    pos = jnp.minimum(pos, N - 1)
-    sample = jnp.take(order, pos.reshape(-1))
-    local = jnp.take(sidx, pos.reshape(-1)).reshape(num_blocks, block)
-    local = local - blk_tile[:, None] * tile
-    local = jnp.where(lane_ok, local, -1)  # -1 -> one-hot row of zeros
-    pay = jnp.take(payload.astype(jnp.float32), sample, axis=0)
-    pay = pay.reshape(num_blocks, block, D)
-
     lanes = jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
+    iota_b = jnp.arange(block, dtype=jnp.int32)
 
     def body(out, xs):
-        t, lidx, p = xs
+        t, start, end = xs
+        blk = jax.lax.dynamic_slice(sext, (start, 0), (block, D + 1))
+        lidx = blk[:, 0].astype(jnp.int32) - t * tile
+        lidx = jnp.where(start + iota_b < end, lidx, -1)  # -1 -> zero one-hot
         onehot = (lidx[:, None] == lanes).astype(jnp.float32)  # (block, tile)
+        # HIGHEST precision: TPU fp32 matmuls default to one-pass bf16
+        # multiplies, which would round every payload term to 8 mantissa bits
         contrib = jax.lax.dot_general(
-            onehot, p, (((0,), (0,)), ((), ())),
+            onehot, blk[:, 1:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (tile, D)
         base = t * tile
         cur = jax.lax.dynamic_slice(out, (base, 0), (tile, D))
@@ -108,7 +116,7 @@ def blocked_scatter_add(
         return out, None
 
     out = jnp.zeros((padded_rows, D), jnp.float32)
-    out, _ = jax.lax.scan(body, out, (blk_tile, local, pay))
+    out, _ = jax.lax.scan(body, out, (blk_tile, blk_start, blk_end))
     return out[:num_rows]
 
 

@@ -70,6 +70,10 @@ class RenderConfig:
     march: str = "hierarchical"
     fine_per_coarse: int = 12
     coarse_budget: int = 8
+    # static count of coarse segments per ray; 0 -> worst case
+    # ceil(bound * max_steps / fine_per_coarse). The trainer auto-tunes this
+    # down from the live occupied-bbox diagonal (one recompile).
+    num_coarse_override: int = 0
 
     @property
     def cascades(self) -> int:
@@ -109,6 +113,9 @@ class OccupancyState(NamedTuple):
                                 # hierarchical march's conservative coarse test)
     mean_density: jnp.ndarray   # () float32
     iter_density: jnp.ndarray   # () int32
+    bbox: jnp.ndarray = None    # (6,) float32 world AABB of occupied cells
+                                # (+1 voxel margin); rays are clipped to it so
+                                # empty scene margin costs no march candidates
 
 
 def init_occupancy(cfg: RenderConfig) -> OccupancyState:
@@ -119,7 +126,32 @@ def init_occupancy(cfg: RenderConfig) -> OccupancyState:
         occ_coarse=jnp.zeros((C, H, H, H), bool),
         mean_density=jnp.zeros((), jnp.float32),
         iter_density=jnp.zeros((), jnp.int32),
+        bbox=jnp.asarray(cfg.aabb, jnp.float32),
     )
+
+
+def _occupied_bbox(occ: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """World-space AABB of occupied cells across cascades (+1 voxel margin);
+    the full scene box when nothing is occupied."""
+    C, H = occ.shape[0], occ.shape[1]
+    lo = jnp.full((3,), jnp.inf)
+    hi = jnp.full((3,), -jnp.inf)
+    idx = jnp.arange(H, dtype=jnp.float32)
+    for cas in range(C):
+        bound = min(2**cas, cfg.bound)
+        cell = 2.0 * bound / H
+        for ax, reduce_axes in enumerate([(1, 2), (0, 2), (0, 1)]):
+            line = occ[cas].any(axis=reduce_axes[0]).any(axis=reduce_axes[1] - 1)
+            world_lo = -bound + idx * cell
+            mn = jnp.min(jnp.where(line, world_lo, jnp.inf))
+            mx = jnp.max(jnp.where(line, world_lo + cell, -jnp.inf))
+            lo = lo.at[ax].min(mn - cell)
+            hi = hi.at[ax].max(mx + cell)
+    full = jnp.asarray(cfg.aabb, jnp.float32)
+    empty = ~jnp.isfinite(lo[0]) | ~jnp.isfinite(hi[0])
+    lo = jnp.where(empty | (lo < full[:3]), full[:3], lo)
+    hi = jnp.where(empty | (hi > full[3:]), full[3:], hi)
+    return jnp.concatenate([lo, hi])
 
 
 def _dilate3(occ: jnp.ndarray) -> jnp.ndarray:
@@ -175,36 +207,58 @@ def update_density_grid(
     rng: jax.Array,
     cfg: RenderConfig,
     decay: float = 0.95,
+    fraction: float = 1.0,
 ) -> OccupancyState:
     """Refresh the density grid (reference update_extra_state,
     renderer.py:448-540): query the field at jittered cell centers, EMA-max
     merge, threshold at min(mean_density, density_thresh) into the occupancy
     bits.
 
-    TPU note: for the first 16 refreshes the reference does a full sweep and a
-    stochastic half-update afterwards; a full sweep here is a single batched
-    field evaluation (CAS * H^3 points), which the TPU eats happily, so we
-    always do the full sweep — strictly more accurate, same asymptotic cost
-    as the hot training step.
+    ``fraction < 1`` refreshes only a rotating contiguous block of cells per
+    cascade (advanced by ``iter_density``) — the static-shape equivalent of
+    the reference's stochastic partial update after the first 16 full sweeps
+    (renderer.py:472-506); a random-cell subset would need a scatter-max,
+    which serializes on TPU, while the rotating block is a dense
+    dynamic-update-slice with identical refresh cadence per cell.
     """
     H, C = cfg.grid_size, cfg.cascades
     coords = jnp.asarray(_grid_coords(H), jnp.float32)  # (H^3, 3)
     world = 2 * coords / (H - 1) - 1
-    tmp = []
     keys = jax.random.split(rng, C)
-    for cas in range(C):
-        bound = min(2**cas, cfg.bound)
-        half = bound / H
-        pts = world * (bound - half)
-        pts = pts + jax.random.uniform(keys[cas], pts.shape, pts.dtype, -half, half)
-        sigmas = density_fn(pts) * cfg.density_scale  # (H^3,)
-        tmp.append(sigmas)
-    tmp_grid = jnp.stack(tmp)  # (C, H^3)
 
-    valid = state.density_grid >= 0
-    new_grid = jnp.where(
-        valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
-    )
+    if fraction < 1.0:
+        S = max(1, int(H**3 * fraction))
+        off = (state.iter_density.astype(jnp.int32) * S) % (H**3)
+        world_s = jax.lax.dynamic_slice(world, (off, 0), (S, 3))
+        parts = []
+        for cas in range(C):
+            bound = min(2**cas, cfg.bound)
+            half = bound / H
+            pts = world_s * (bound - half)
+            pts = pts + jax.random.uniform(keys[cas], pts.shape, pts.dtype, -half, half)
+            parts.append(density_fn(pts) * cfg.density_scale)  # (S,)
+        new_grid = state.density_grid
+        for cas in range(C):
+            old = jax.lax.dynamic_slice(new_grid[cas], (off,), (S,))
+            merged = jnp.where(old >= 0, jnp.maximum(old * decay, parts[cas]), old)
+            new_grid = new_grid.at[cas].set(
+                jax.lax.dynamic_update_slice(new_grid[cas], merged, (off,))
+            )
+    else:
+        tmp = []
+        for cas in range(C):
+            bound = min(2**cas, cfg.bound)
+            half = bound / H
+            pts = world * (bound - half)
+            pts = pts + jax.random.uniform(keys[cas], pts.shape, pts.dtype, -half, half)
+            sigmas = density_fn(pts) * cfg.density_scale  # (H^3,)
+            tmp.append(sigmas)
+        tmp_grid = jnp.stack(tmp)  # (C, H^3)
+
+        valid = state.density_grid >= 0
+        new_grid = jnp.where(
+            valid, jnp.maximum(state.density_grid * decay, tmp_grid), state.density_grid
+        )
     mean_density = jnp.mean(jnp.clip(new_grid, min=0))
     thresh = jnp.minimum(mean_density, cfg.density_thresh) * cfg.occ_thresh_scale
     occ = (new_grid > thresh).reshape(C, H, H, H)
@@ -214,6 +268,7 @@ def update_density_grid(
         occ_coarse=_dilate3(occ),
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
+        bbox=_occupied_bbox(occ, cfg),
     )
 
 
@@ -334,10 +389,17 @@ def render_occgrid(
     perturb: bool = False,
     max_steps: Optional[int] = None,
     occ_coarse: Optional[jnp.ndarray] = None,
+    occ_bbox: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """March + compact + field + composite (one path for train and eval)."""
+    """March + compact + field + composite (one path for train and eval).
+
+    ``occ_bbox``: dynamic (6,) AABB of the occupied region
+    (OccupancyState.bbox) — rays clip to it, so the (static) candidate span
+    is spent on content rather than empty scene margin."""
     N = rays_o.shape[0]
     aabb = jnp.asarray(cfg.aabb, jnp.float32)
+    if occ_bbox is not None:
+        aabb = occ_bbox
     nears, fars = RM.near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
     hit = nears < 1e30
     nears_c = jnp.where(hit, nears, 0.0)
@@ -358,7 +420,7 @@ def render_occgrid(
     )
     if hierarchical:
         F = cfg.fine_per_coarse
-        num_coarse = int(math.ceil(cfg.bound * steps / F))
+        num_coarse = cfg.num_coarse_override or int(math.ceil(cfg.bound * steps / F))
         t, dt_scalar, mask, stride = RM.march_hierarchical(
             rays_o, rays_d, nears_c, fars_c, occ, occ_coarse, noise,
             num_coarse=num_coarse, fine_per_coarse=F,

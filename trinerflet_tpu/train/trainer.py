@@ -161,9 +161,37 @@ class Trainer:
             // max(render_cfg.samples_per_ray_budget, 1),
         )
         self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
+        self._march_retunes = 0
+        self._build_jits()
+
+    def _build_jits(self):
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
+        self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,),
+                                    static_argnames=("full",))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
+
+    def _maybe_retune_march(self, state: TrainState):
+        """Shrink the static coarse-segment span to the live occupied-bbox
+        diagonal (+25% margin); grow it back if the bbox outgrows the span.
+        At most 4 recompiles per run; skipped until the occupancy stabilizes."""
+        cfg = self.render_cfg
+        if (cfg.march != "hierarchical" or self.cfg.renderer != "occgrid"
+                or self._march_retunes >= 4 or int(state.occ.iter_density) < 6):
+            return
+        import math as _m
+
+        bbox = np.asarray(state.occ.bbox)
+        diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
+        seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
+        worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+        target = int(_m.ceil(diag * 1.1 / seg)) + 2
+        target = min(worst, max(8, (target + 7) // 8 * 8))
+        cur = cfg.num_coarse_override or worst
+        if target < int(cur * 0.75) or target > cur:
+            self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
+            self.eval_render_cfg = self.render_cfg.for_eval()
+            self._march_retunes += 1
+            self._build_jits()
 
     # ------------------------------------------------------------------ init
 
@@ -242,7 +270,7 @@ class Trainer:
             out = R.render_occgrid(
                 field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
                 rng=k_perturb, bg_color=bg, perturb=True,
-                occ_coarse=occ.occ_coarse,
+                occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
             )
         else:
             out = R.render_dense(
@@ -310,7 +338,7 @@ class Trainer:
         aux["loss"] = loss
         return new_state, aux
 
-    def _update_grid_impl(self, state: TrainState):
+    def _update_grid_impl(self, state: TrainState, full: bool = True):
         rng, k = jax.random.split(state.rng)
         planes = self.field.build_planes(state.params)
 
@@ -318,7 +346,10 @@ class Trainer:
             sigma, _ = self.field.density(state.params, planes, pts)
             return sigma
 
-        occ = R.update_density_grid(state.occ, density_fn, k, self.render_cfg)
+        # reference cadence (renderer.py:472-506): full sweeps for the first
+        # 16 refreshes, partial (rotating quarter) afterwards
+        occ = R.update_density_grid(state.occ, density_fn, k, self.render_cfg,
+                                    fraction=1.0 if full else 0.25)
         return state._replace(occ=occ, rng=rng)
 
     # ------------------------------------------------------------- rendering
@@ -333,6 +364,7 @@ class Trainer:
             return R.render_occgrid(
                 field_fn, rays_o, rays_d, occ.occ, rcfg,
                 bg_color=bg_color, perturb=False, occ_coarse=occ.occ_coarse,
+                occ_bbox=occ.bbox,
             )
         return R.render_dense(
             lambda x: self.field.density(params, planes, x),
@@ -416,7 +448,10 @@ class Trainer:
                 self.cfg.renderer == "occgrid"
                 and int(state.step) % self.cfg.update_extra_interval == 0
             ):
-                state = self._update_grid(state)
+                state = self._update_grid(
+                    state, full=int(state.occ.iter_density) < 16
+                )
+                self._maybe_retune_march(state)
             state, aux = self._train_step(state, data)
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
