@@ -72,6 +72,30 @@ class TestColmap:
         np.testing.assert_allclose(poses[0][:3, 3], [0, 0, -1], atol=1e-6)
         np.testing.assert_allclose(poses[0][:3, :3], np.eye(3), atol=1e-6)
 
+    def test_slerp_test_path(self):
+        """interpolate_pose_path: endpoints preserved, rotations stay valid,
+        midpoint rotation is the geodesic halfway point (reference colmap
+        slerp test path, provider.py:172-189)."""
+        from scipy.spatial.transform import Rotation
+
+        from trinerflet_tpu.data.colmap import interpolate_pose_path
+
+        p0 = np.eye(4, dtype=np.float32)
+        p1 = np.eye(4, dtype=np.float32)
+        p1[:3, :3] = Rotation.from_euler("y", 90, degrees=True).as_matrix()
+        p1[:3, 3] = [1.0, 2.0, 3.0]
+        path = interpolate_pose_path(np.stack([p0, p1]), n_frames=9)
+        assert path.shape == (9, 4, 4)
+        np.testing.assert_allclose(path[0], p0, atol=1e-6)
+        np.testing.assert_allclose(path[-1], p1, atol=1e-6)
+        mid = path[4]
+        expect = Rotation.from_euler("y", 45, degrees=True).as_matrix()
+        np.testing.assert_allclose(mid[:3, :3], expect, atol=1e-5)
+        np.testing.assert_allclose(mid[:3, 3], [0.5, 1.0, 1.5], atol=1e-6)
+        # orthonormality along the path
+        for R in path[:, :3, :3]:
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
 
 class TestLoggingUtils:
     def test_logger_and_timer(self, tmp_path):

@@ -109,6 +109,40 @@ def load_colmap_poses(sparse_dir: str):
     return [im.name for im in images], poses, cam.intrinsics
 
 
+def interpolate_pose_path(poses: np.ndarray, n_frames: int = 120) -> np.ndarray:
+    """Smooth camera trajectory through the given cam2world poses: slerp on
+    rotations, linear interpolation on centers (reference colmap test-path
+    interpolation, provider.py:172-189). Returns (n_frames, 4, 4)."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    key_t = np.arange(len(poses), dtype=np.float64)
+    slerp = Slerp(key_t, Rotation.from_matrix(poses[:, :3, :3].astype(np.float64)))
+    t = np.linspace(0.0, len(poses) - 1.0, n_frames)
+    R = slerp(t).as_matrix()
+    centers = np.stack(
+        [np.interp(t, key_t, poses[:, i, 3].astype(np.float64)) for i in range(3)], -1
+    )
+    out = np.broadcast_to(np.eye(4), (n_frames, 4, 4)).copy()
+    out[:, :3, :3] = R
+    out[:, :3, 3] = centers
+    return out.astype(np.float32)
+
+
+def colmap_test_path(root: str, n_frames: int = 120, downscale: int = 1,
+                     scale: float = 0.33, offset=(0, 0, 0)):
+    """Render-only test trajectory for a COLMAP scene: slerp through the
+    registered camera poses (ngp convention). Returns (poses, intrinsics)."""
+    from .blender import nerf_matrix_to_ngp
+
+    names, poses_cv, intr = load_colmap_poses(os.path.join(root, "sparse", "0"))
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    poses_gl = np.stack([p @ flip for p in poses_cv])
+    poses = np.stack([nerf_matrix_to_ngp(p, scale, offset) for p in poses_gl])
+    path = interpolate_pose_path(poses, n_frames)
+    fx, fy, cx, cy = (v / downscale for v in intr)
+    return path, (fx, fy, cx, cy)
+
+
 def load_colmap_scene(root: str, downscale: int = 1, scale: float = 0.33,
                       offset=(0, 0, 0), hold_every: int = 0, split: str = "train"):
     """COLMAP reconstruction (root/sparse/0 + root/images) -> SceneData with
