@@ -161,3 +161,72 @@ class TestNeRFField:
         d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
         rgb = field.background(params, sph, d)
         assert rgb.shape == (4, 3)
+
+
+class TestLearnedTransform:
+    """Learned rotation + lbound zoom variants (reference
+    triplane_encoder.py:335-362, :304-312)."""
+
+    def _setup(self):
+        from trinerflet_tpu.models.triplane import (
+            TriplaneConfig, init_triplane_params, build_planes, sample_triplane)
+        import jax, jax.numpy as jnp
+
+        cfg = TriplaneConfig(channels=4, resolution=32, wavelet_scale=2,
+                             learned_rotation=True, lbound_auto_scale=True)
+        params = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        params["base"] = jax.random.normal(jax.random.PRNGKey(1),
+                                           params["base"].shape)
+        planes = build_planes(params, cfg)
+        return cfg, params, planes, sample_triplane
+
+    def test_identity_transform_matches_plain(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        import dataclasses
+
+        cfg, params, planes, sample = self._setup()
+        pts = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-0.9,
+                                 maxval=0.9)
+        with_t = sample(planes, pts, cfg, enc_params=params)
+        plain_cfg = dataclasses.replace(cfg, learned_rotation=False,
+                                        lbound_auto_scale=False)
+        plain = sample(planes, pts, plain_cfg)
+        np.testing.assert_allclose(np.asarray(with_t), np.asarray(plain),
+                                   atol=1e-5)
+
+    def test_rotation_changes_features_and_gets_grads(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+
+        cfg, params, planes, sample = self._setup()
+        pts = jax.random.uniform(jax.random.PRNGKey(3), (64, 3), minval=-0.5,
+                                 maxval=0.5)
+
+        def loss(p):
+            return (sample(planes, pts, cfg, enc_params=p) ** 2).sum()
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["rotation"]).max()) > 0
+        assert float(jnp.abs(g["lbound_scale"])) > 0
+        # a 90-degree z-rotation permutes the sampled field
+        rot = dict(params)
+        rot["rotation"] = jnp.asarray([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
+        a = sample(planes, pts, cfg, enc_params=params)
+        b = sample(planes, pts, cfg, enc_params=rot)
+        assert float(jnp.abs(a - b).max()) > 1e-3
+
+    def test_grow_preserves_transform_params(self):
+        import jax
+        import numpy as np
+        import dataclasses
+        from trinerflet_tpu.models.triplane import grow_params
+
+        cfg, params, _, _ = self._setup()
+        import jax.numpy as jnp
+        params["rotation"] = jnp.asarray([0.9, 0.1, 0.2, 0.3])
+        new_cfg = dataclasses.replace(cfg, resolution=64, wavelet_scale=4)
+        newp = grow_params(params, cfg, new_cfg, jax.random.PRNGKey(4))
+        np.testing.assert_allclose(np.asarray(newp["rotation"]),
+                                   np.asarray(params["rotation"]))
+        assert "lbound_scale" in newp

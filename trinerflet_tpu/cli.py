@@ -85,6 +85,12 @@ def get_params(argv=None):
     parser.add_argument("--mute", action="store_true")
     parser.add_argument("--wavelet_type", type=str, default="bior6.8")
     parser.add_argument("--wavelet_base_resolution", type=int, default=0)
+    parser.add_argument("--triplane_rotation", action="store_true",
+                        help="learnable global rotation of sample coords "
+                        "(reference triplane_encoder.py:335-362)")
+    parser.add_argument("--lbound_auto_scale", action="store_true",
+                        help="learnable zoom of the plane extent "
+                        "(reference triplane_encoder.py:304-312)")
     parser.add_argument("--upscale_ratio_bound", type=float, nargs="+", default=[-1])
     parser.add_argument("--upscale_levels", type=int, nargs="+", default=[2])
     parser.add_argument("--huber_loss", action="store_true")
@@ -127,6 +133,8 @@ def build_configs(opt):
         wavelet_scale=opt.triplane_wavelet_levels,
         wavelet_type=opt.wavelet_type,
         wavelet_base_resolution=opt.wavelet_base_resolution,
+        learned_rotation=opt.triplane_rotation,
+        lbound_auto_scale=opt.lbound_auto_scale,
         upscale_ratio_bound=opt.upscale_ratio_bound,
         upscale_levels=opt.upscale_levels,
     )

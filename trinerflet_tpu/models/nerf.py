@@ -183,7 +183,7 @@ class NeRFField:
         else:
             feats = sample_triplane(
                 planes, x, self.cfg.triplane, lbound=self.cfg.bound,
-                resolution_mode=resolution_mode,
+                resolution_mode=resolution_mode, enc_params=params["encoder"],
             )
         h = _mlp(params["sigma_net"], feats, self.dtype)
         sigma = trunc_exp(self._density_blob(x, h[..., 0]))

@@ -65,6 +65,12 @@ class TriplaneConfig:
     # identical values, but NO coordinate gradients — disable where the
     # encoder must be differentiated w.r.t. positions (SR analytic normals)
     fast_sampler: bool = True
+    # experimental reference variants (triplane_encoder.py:335-362, :304-312):
+    # a learnable global rotation of the sample coords (quaternion) and a
+    # learnable zoom of the plane extent. Both need coordinate gradients, so
+    # enabling either switches off the quad sampler automatically.
+    learned_rotation: bool = False
+    lbound_auto_scale: bool = False
 
     @property
     def levels(self) -> int:
@@ -133,7 +139,21 @@ def init_triplane_params(rng: jax.Array, cfg: TriplaneConfig) -> Dict:
             f"level_{i}": jnp.zeros((3, cfg.channels, 3, s, s), jnp.float32)
             for i, s in enumerate(sizes)
         }
+    if cfg.learned_rotation:
+        params["rotation"] = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)  # quat
+    if cfg.lbound_auto_scale:
+        params["lbound_scale"] = jnp.ones((), jnp.float32)
     return params
+
+
+def _quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    q = q / jnp.linalg.norm(q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)]),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)]),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]),
+    ])
 
 
 def _idwt_ladder(
@@ -254,17 +274,35 @@ def sample_triplane(
     cfg: TriplaneConfig,
     lbound: Optional[float] = None,
     resolution_mode: str = "full",
+    enc_params: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """Sample features for (N, 3) coords in [-lbound, lbound]^3 -> (N, 3C).
 
     In upscale mode, points are routed by their inf-norm into the nested
     zoom planes (triplane_encoder.py:453-483) — implemented with masked
     blending instead of boolean gather/scatter (static shapes).
+
+    ``enc_params`` supplies the learned-rotation quaternion / lbound zoom
+    when those variants are enabled (they differentiate through the sample
+    coordinates, so the gradient-exact sampler is used).
     """
     lb = cfg.lbound if lbound is None else lbound
     N = coords.shape[0]
 
-    sampler = sample_planes_quad if cfg.fast_sampler else sample_planes
+    transform_learned = False
+    if enc_params is not None:
+        if cfg.learned_rotation and "rotation" in enc_params:
+            coords = coords @ _quat_to_matrix(enc_params["rotation"]).T
+            transform_learned = True
+        if cfg.lbound_auto_scale and "lbound_scale" in enc_params:
+            lb = lb * enc_params["lbound_scale"]
+            transform_learned = True
+
+    sampler = (
+        sample_planes
+        if (transform_learned or not cfg.fast_sampler)
+        else sample_planes_quad
+    )
 
     def flat_sample(plane_stack, bound):
         pc = project_to_planes(coords, bound)
@@ -333,4 +371,7 @@ def grow_params(old_params: Dict, old_cfg: TriplaneConfig, new_cfg: TriplaneConf
         for k, v in old_params["upscale"].items():
             if k in new_params["upscale"] and new_params["upscale"][k].shape == v.shape:
                 new_params["upscale"][k] = v
+    for k in ("rotation", "lbound_scale"):
+        if k in old_params and k in new_params:
+            new_params[k] = old_params[k]
     return new_params
