@@ -1,0 +1,92 @@
+"""NSVF / NeRF++ dataset-format loaders (reference dataset_llff variants)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from trinerflet_tpu.data.formats import load_nerfpp_scene, load_nsvf_scene
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _pose(z=2.0):
+    # OpenCV cam2world: camera at -z looking at origin (z axis forward)
+    m = np.eye(4, dtype=np.float32)
+    m[2, 3] = -z
+    return m
+
+
+def _write_img(path, h=12, w=16, v=128):
+    img = np.full((h, w, 3), v, np.uint8)
+    cv2.imwrite(path, img)
+
+
+class TestNSVF:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("nsvf"))
+        os.makedirs(os.path.join(root, "rgb"))
+        os.makedirs(os.path.join(root, "pose"))
+        for i, pref in enumerate(["0_", "0_", "1_", "2_"]):
+            stem = f"{pref}{i:04d}"
+            _write_img(os.path.join(root, "rgb", stem + ".png"), v=60 * (i + 1) % 255)
+            np.savetxt(os.path.join(root, "pose", stem + ".txt"), _pose(2.0 + i))
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 20.0
+        K[0, 2], K[1, 2] = 8.0, 6.0
+        np.savetxt(os.path.join(root, "intrinsics.txt"), K)
+        return root
+
+    def test_split_and_shapes(self, root):
+        tr = load_nsvf_scene(root, "train", scale=1.0)
+        assert tr.images.shape == (2, 12, 16, 3)
+        te = load_nsvf_scene(root, "test", scale=1.0)
+        assert te.images.shape[0] == 1
+        assert tr.intrinsics == (20.0, 20.0, 8.0, 6.0)
+        assert np.isfinite(tr.poses).all()
+
+    def test_scalar_intrinsics_form(self, root, tmp_path):
+        np.savetxt(os.path.join(root, "intrinsics.txt"), np.asarray([20.0, 8.0, 6.0, 0.0]))
+        tr = load_nsvf_scene(root, "train", scale=1.0)
+        assert tr.intrinsics[0] == 20.0 and tr.intrinsics[2] == 8.0
+
+
+class TestNeRFPP:
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("npp"))
+        for split, n in [("train", 3), ("test", 2)]:
+            for sub in ("rgb", "pose", "intrinsics"):
+                os.makedirs(os.path.join(root, split, sub))
+            for i in range(n):
+                stem = f"{i:05d}"
+                _write_img(os.path.join(root, split, "rgb", stem + ".png"))
+                np.savetxt(os.path.join(root, split, "pose", stem + ".txt"),
+                           _pose(2.0 + i).reshape(-1))
+                K = np.eye(4)
+                K[0, 0] = K[1, 1] = 24.0
+                K[0, 2], K[1, 2] = 8.0, 6.0
+                np.savetxt(os.path.join(root, split, "intrinsics", stem + ".txt"),
+                           K.reshape(-1))
+        return root
+
+    def test_splits(self, root):
+        tr = load_nerfpp_scene(root, "train", scale=1.0)
+        te = load_nerfpp_scene(root, "test", scale=1.0)
+        assert tr.images.shape == (3, 12, 16, 3)
+        assert te.images.shape[0] == 2
+        assert tr.intrinsics == (24.0, 24.0, 8.0, 6.0)
+        # val falls back to test when no validation dir
+        va = load_nerfpp_scene(root, "val", scale=1.0)
+        assert va.images.shape[0] == 2
+
+    def test_pose_convention_roundtrip(self, root):
+        """A camera at -z (OpenCV, looking toward +z) must convert to an ngp
+        pose whose forward axis points at the origin."""
+        tr = load_nerfpp_scene(root, "train", scale=1.0)
+        pose = tr.poses[0]
+        center = pose[:3, 3]
+        fwd = pose[:3, 2]
+        to_origin = -center / (np.linalg.norm(center) + 1e-9)
+        assert float(np.dot(fwd, to_origin)) > 0.99

@@ -1,0 +1,122 @@
+"""Additional dataset formats: NSVF and NeRF++ layouts.
+
+Counterpart of the reference's ``reconstruction/nerf/dataset_llff`` package
+(nsvf.py / nerfpp.py variants beyond colmap+blender): text-file pose/intrinsic
+layouts commonly used by synthetic-NSVF, BlendedMVS, and Tanks&Temples
+exports. Both loaders return the framework's ``SceneData`` with poses in the
+ngp convention.
+
+* NSVF layout: ``intrinsics.txt`` (4x4 K or "f cx cy ..."), ``pose/*.txt``
+  (4x4 cam2world, OpenCV or OpenGL per ``opengl_cam``), ``rgb/*.png``; split
+  encoded in the filename prefix (0_=train, 1_=val, 2_=test); ``bbox.txt``
+  optional scene bounds.
+* NeRF++ layout: per-split directories (``train/ test/ validation/``) each
+  holding ``rgb/``, ``pose/`` (flattened 4x4), ``intrinsics/`` (flattened
+  4x4 K per image).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .blender import SceneData, nerf_matrix_to_ngp
+
+__all__ = ["load_nsvf_scene", "load_nerfpp_scene"]
+
+_OPENCV_TO_GL = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+
+def _read_image(path: str, downscale: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 3 and img.shape[-1] >= 3:
+        img[..., :3] = img[..., 2::-1]
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    img = img.astype(np.float32) / 255.0
+    if downscale > 1:
+        img = cv2.resize(
+            img, (img.shape[1] // downscale, img.shape[0] // downscale),
+            interpolation=cv2.INTER_AREA,
+        )
+    return img
+
+
+def _read_matrix(path: str) -> np.ndarray:
+    vals = np.loadtxt(path).reshape(-1)
+    if vals.size >= 16:
+        return vals[:16].reshape(4, 4).astype(np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :4] = vals[:12].reshape(3, 4)
+    return m
+
+
+def load_nsvf_scene(
+    root: str,
+    split: str = "train",
+    downscale: int = 1,
+    scale: float = 0.33,
+    offset=(0, 0, 0),
+    opengl_cam: bool = False,
+) -> SceneData:
+    """NSVF-format scene (rgb/ + pose/ + intrinsics.txt, split by prefix)."""
+    prefix = {"train": "0_", "val": "1_", "test": "2_"}[split]
+    rgb_paths = sorted(glob.glob(os.path.join(root, "rgb", f"{prefix}*")))
+    if not rgb_paths:  # unsplit datasets: use everything
+        rgb_paths = sorted(glob.glob(os.path.join(root, "rgb", "*")))
+    images, poses = [], []
+    for p in rgb_paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pose = _read_matrix(os.path.join(root, "pose", stem + ".txt"))
+        if not opengl_cam:  # NSVF poses are OpenCV cam2world
+            pose = pose @ _OPENCV_TO_GL
+        poses.append(nerf_matrix_to_ngp(pose, scale, offset))
+        images.append(_read_image(p, downscale))
+    images = np.stack(images)
+
+    intr = np.loadtxt(os.path.join(root, "intrinsics.txt")).reshape(-1)
+    if intr.size >= 16:
+        K = intr[:16].reshape(4, 4)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    else:
+        fx = fy = intr[0]
+        cx, cy = intr[1], intr[2]
+    fx, fy, cx, cy = (v / downscale for v in (fx, fy, cx, cy))
+    return SceneData(images=images, poses=np.stack(poses),
+                     intrinsics=(float(fx), float(fy), float(cx), float(cy)),
+                     H=images.shape[1], W=images.shape[2])
+
+
+def load_nerfpp_scene(
+    root: str,
+    split: str = "train",
+    downscale: int = 1,
+    scale: float = 0.33,
+    offset=(0, 0, 0),
+) -> SceneData:
+    """NeRF++-format scene (per-split rgb/ pose/ intrinsics/ directories)."""
+    sdir = os.path.join(root, {"val": "validation"}.get(split, split))
+    if not os.path.isdir(sdir):
+        sdir = os.path.join(root, "test" if split == "val" else split)
+    rgb_paths = sorted(glob.glob(os.path.join(sdir, "rgb", "*")))
+    images, poses, intrs = [], [], []
+    for p in rgb_paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pose = _read_matrix(os.path.join(sdir, "pose", stem + ".txt"))
+        pose = pose @ _OPENCV_TO_GL  # nerf++ uses OpenCV cam axes
+        poses.append(nerf_matrix_to_ngp(pose, scale, offset))
+        K = _read_matrix(os.path.join(sdir, "intrinsics", stem + ".txt"))
+        intrs.append((K[0, 0], K[1, 1], K[0, 2], K[1, 2]))
+        images.append(_read_image(p, downscale))
+    images = np.stack(images)
+    fx, fy, cx, cy = (v / downscale for v in np.asarray(intrs).mean(axis=0))
+    return SceneData(images=images, poses=np.stack(poses),
+                     intrinsics=(float(fx), float(fy), float(cx), float(cy)),
+                     H=images.shape[1], W=images.shape[2])
