@@ -255,3 +255,144 @@ double tn_ssim(const float* a, const float* b, int H, int W, int C) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Marching tetrahedra (OpenMP)
+// ---------------------------------------------------------------------------
+// Native counterpart of ops/meshing.py (which stands in for the reference's
+// mcubes C++ extension, Trainer.save_mesh utils.py:738-758). Same 6-tet Kuhn
+// decomposition and case enumeration as the Python implementation, so the two
+// produce the same triangle soup (up to ordering).
+
+namespace mt {
+
+// cube vertex id bits -> (x, y, z) offsets
+static const int kCubeOff[8][3] = {{0,0,0},{0,0,1},{0,1,0},{0,1,1},
+                                   {1,0,0},{1,0,1},{1,1,0},{1,1,1}};
+static const int kTets[6][4] = {{0,1,3,7},{0,1,5,7},{0,2,3,7},
+                                {0,2,6,7},{0,4,5,7},{0,4,6,7}};
+// tet edge ids: 0:(0,1) 1:(0,2) 2:(0,3) 3:(1,2) 4:(1,3) 5:(2,3)
+static const int kTetEdges[6][2] = {{0,1},{0,2},{0,3},{1,2},{1,3},{2,3}};
+
+struct CaseTable {
+  int ntris[16];
+  int tris[16][2][3];  // up to 2 triangles of tet-edge ids
+  CaseTable() {
+    auto eid = [](int a, int b) {
+      if (a > b) { int t = a; a = b; b = t; }
+      for (int i = 0; i < 6; i++)
+        if (kTetEdges[i][0] == a && kTetEdges[i][1] == b) return i;
+      return -1;
+    };
+    for (int m = 0; m < 16; m++) {
+      int in[4], out[4], ni = 0, no = 0;
+      for (int v = 0; v < 4; v++) (m >> v & 1) ? in[ni++] = v : out[no++] = v;
+      ntris[m] = 0;
+      if (ni == 1) {
+        int i = in[0];
+        int* t = tris[m][0];
+        t[0] = eid(i, out[0]); t[1] = eid(i, out[1]); t[2] = eid(i, out[2]);
+        ntris[m] = 1;
+      } else if (ni == 3) {
+        int o = out[0];
+        int* t = tris[m][0];
+        t[0] = eid(o, in[0]); t[1] = eid(o, in[2]); t[2] = eid(o, in[1]);
+        ntris[m] = 1;
+      } else if (ni == 2) {
+        int i = in[0], j = in[1], k = out[0], l = out[1];
+        int q0 = eid(i, k), q1 = eid(i, l), q2 = eid(j, l), q3 = eid(j, k);
+        tris[m][0][0] = q0; tris[m][0][1] = q1; tris[m][0][2] = q2;
+        tris[m][1][0] = q0; tris[m][1][1] = q2; tris[m][1][2] = q3;
+        ntris[m] = 2;
+      }
+    }
+  }
+};
+static const CaseTable kCases;
+
+// triangles produced by one cube; writes up to 12 triangles (9 floats each)
+// into out when out != nullptr. Returns the triangle count.
+static inline int do_cube(const float* grid, int Y, int Z, int x, int y,
+                          int z, float thresh, float* out) {
+  float v[8];
+  float px[8], py[8], pz[8];
+  for (int c = 0; c < 8; c++) {
+    int cx = x + kCubeOff[c][0], cy = y + kCubeOff[c][1], cz = z + kCubeOff[c][2];
+    v[c] = grid[((long)cx * Y + cy) * Z + cz];
+    px[c] = (float)cx; py[c] = (float)cy; pz[c] = (float)cz;
+  }
+  int n = 0;
+  for (int t = 0; t < 6; t++) {
+    const int* tet = kTets[t];
+    int mask = 0;
+    for (int c = 0; c < 4; c++) mask |= (v[tet[c]] > thresh) << c;
+    int nt = kCases.ntris[mask];
+    for (int k = 0; k < nt; k++) {
+      if (out) {
+        for (int e = 0; e < 3; e++) {
+          int a = tet[kTetEdges[kCases.tris[mask][k][e]][0]];
+          int b = tet[kTetEdges[kCases.tris[mask][k][e]][1]];
+          float da = v[a], db = v[b];
+          float denom = db - da;
+          if (std::fabs(denom) < 1e-12f) denom = 1e-12f;
+          float tt = (thresh - da) / denom;
+          tt = tt < 0.f ? 0.f : (tt > 1.f ? 1.f : tt);
+          float* o = out + (long)(n + k) * 9 + e * 3;
+          o[0] = px[a] * (1 - tt) + px[b] * tt;
+          o[1] = py[a] * (1 - tt) + py[b] * tt;
+          o[2] = pz[a] * (1 - tt) + pz[b] * tt;
+        }
+      }
+    }
+    n += nt;
+  }
+  return n;
+}
+
+}  // namespace mt
+
+// Count-or-emit marching tetrahedra over an (X, Y, Z) float grid.
+// When out == nullptr: returns the total triangle count.
+// When out != nullptr (capacity cap_tris): writes world-space triangle soup
+// (n, 3 verts, 3 floats) with position = origin + grid_index * spacing and
+// returns the number written (clamped to cap_tris).
+extern "C" long tn_marching_tets(const float* grid, int X, int Y, int Z, float thresh,
+                      float ox, float oy, float oz, float spacing,
+                      float* out, long cap_tris) {
+  int cx = X - 1, cy = Y - 1, cz = Z - 1;
+  if (cx <= 0 || cy <= 0 || cz <= 0) return 0;
+  std::vector<long> slab_counts(cx, 0);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int x = 0; x < cx; x++) {
+    long c = 0;
+    for (int y = 0; y < cy; y++)
+      for (int z = 0; z < cz; z++)
+        c += mt::do_cube(grid, Y, Z, x, y, z, thresh, nullptr);
+    slab_counts[x] = c;
+  }
+  std::vector<long> offsets(cx + 1, 0);
+  for (int x = 0; x < cx; x++) offsets[x + 1] = offsets[x] + slab_counts[x];
+  long total = offsets[cx];
+  if (!out) return total;
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int x = 0; x < cx; x++) {
+    long w = offsets[x];
+    for (int y = 0; y < cy; y++)
+      for (int z = 0; z < cz; z++) {
+        if (w >= cap_tris) break;
+        long room = cap_tris - w;
+        float* dst = out + w * 9;
+        int n = mt::do_cube(grid, Y, Z, x, y, z, thresh, dst);
+        w += n < room ? n : room;
+      }
+  }
+  long written = total < cap_tris ? total : cap_tris;
+#pragma omp parallel for
+  for (long i = 0; i < written * 3; i++) {
+    out[i * 3 + 0] = ox + out[i * 3 + 0] * spacing;
+    out[i * 3 + 1] = oy + out[i * 3 + 1] * spacing;
+    out[i * 3 + 2] = oz + out[i * 3 + 2] * spacing;
+  }
+  return written;
+}

@@ -58,3 +58,39 @@ class TestNative:
         a = rng.random((48, 48, 3)).astype(np.float32)
         b = np.clip(a + 0.1 * rng.standard_normal(a.shape), 0, 1).astype(np.float32)
         np.testing.assert_allclose(native.ssim(a, b), py_ssim(a, b), atol=5e-3)
+
+
+class TestNativeMarchingTets:
+    def test_matches_python_implementation(self):
+        """Native soup must equal the numpy soup as a vertex multiset."""
+        from trinerflet_tpu import native
+        from trinerflet_tpu.ops import meshing
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(0)
+        x = np.linspace(-1, 1, 24, dtype=np.float32)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        grid = 10.0 * np.exp(-4 * (X**2 + 1.3 * Y**2 + 0.7 * Z**2))
+        nat = native.marching_tetrahedra(grid, 3.0, origin=(-1, -1, -1),
+                                         spacing=2 / 23)
+        # force the pure-python path for the reference result
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "marching_tetrahedra", lambda *a, **k: None):
+            ref = meshing.marching_tetrahedra(grid, 3.0, origin=(-1, -1, -1),
+                                              spacing=2 / 23)
+        assert nat.shape == ref.shape
+        a = np.sort(np.round(nat.reshape(-1, 3), 4).view([('x','f4'),('y','f4'),('z','f4')]).ravel())
+        b = np.sort(np.round(ref.reshape(-1, 3), 4).view([('x','f4'),('y','f4'),('z','f4')]).ravel())
+        assert np.array_equal(a, b)
+
+    def test_empty_and_full(self):
+        from trinerflet_tpu import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        grid = np.zeros((8, 8, 8), np.float32)
+        assert native.marching_tetrahedra(grid, 1.0).shape == (0, 3, 3)
+        grid[:] = 5.0
+        assert native.marching_tetrahedra(grid, 1.0).shape == (0, 3, 3)

@@ -16,7 +16,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["available", "load_image_batch", "psnr", "ssim", "decode_png"]
+__all__ = ["available", "load_image_batch", "psnr", "ssim", "decode_png",
+           "marching_tetrahedra"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "trinerflet_native.cpp")
 _LIB: Optional[ctypes.CDLL] = None
@@ -55,6 +56,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.tn_ssim.argtypes = [ctypes.POINTER(ctypes.c_float)] * 2 + [ctypes.c_int] * 3
     lib.tn_decode_png_file.restype = ctypes.c_int
     lib.tn_load_image_batch.restype = ctypes.c_int
+    lib.tn_marching_tets.restype = ctypes.c_long
+    lib.tn_marching_tets.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_void_p, ctypes.c_long,
+    ]
     _LIB = lib
     return lib
 
@@ -112,6 +119,28 @@ def decode_png(path: str) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"PNG decode failed ({rc}): {path}")
     return out[: hh.value * ww.value * ch.value].reshape(hh.value, ww.value, ch.value)
+
+
+def marching_tetrahedra(
+    grid: np.ndarray, threshold: float, origin=(0.0, 0.0, 0.0), spacing: float = 1.0
+) -> Optional[np.ndarray]:
+    """OpenMP iso-surface extraction: (X, Y, Z) grid -> (T, 3, 3) triangle
+    soup (same decomposition as ops/meshing.marching_tetrahedra). Returns
+    None when the native lib is unavailable (caller falls back to numpy)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(grid, np.float32)
+    X, Y, Z = g.shape
+    ox, oy, oz = (float(v) for v in origin)
+    n = lib.tn_marching_tets(_fptr(g), X, Y, Z, float(threshold),
+                             ox, oy, oz, float(spacing), None, 0)
+    out = np.empty((int(n), 3, 3), np.float32)
+    if n:
+        lib.tn_marching_tets(_fptr(g), X, Y, Z, float(threshold),
+                             ox, oy, oz, float(spacing),
+                             out.ctypes.data_as(ctypes.c_void_p), int(n))
+    return out
 
 
 def load_image_batch(paths, H: int, W: int, downscale: int = 1, out_channels: int = 4) -> np.ndarray:

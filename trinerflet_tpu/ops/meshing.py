@@ -64,7 +64,16 @@ def marching_tetrahedra(
 
     Returns a triangle soup (T, 3, 3) of world-space vertices (apply
     ``np.unique`` on rounded vertices for an indexed mesh; see extract_mesh).
+    Uses the OpenMP native kernel when built (trinerflet_tpu.native).
     """
+    try:
+        from .. import native
+
+        soup = native.marching_tetrahedra(grid, threshold, origin, spacing)
+        if soup is not None:
+            return soup
+    except Exception:
+        pass
     X, Y, Z = grid.shape
     cx, cy, cz = X - 1, Y - 1, Z - 1
     base = np.stack(
