@@ -108,7 +108,8 @@ def get_params(argv=None):
                         help="deep test-time budget (reference --max_steps 4096 "
                         "eval); 0 = same as training budget")
     parser.add_argument("--eval_interval_stages", type=int, default=0,
-                        help="evaluate val every N k-steps during training (0=end only)")
+                        help="evaluate 2 val views every N steps during training "
+                        "and log wall-clock (time-to-PSNR curves; 0=end only)")
 
     return parser.parse_args(argv)
 
@@ -267,7 +268,30 @@ def run_stage(opt, stage_idx, prev_cfgs):
         grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
         state = trainer.init_state(rng, density_grid=grid)
 
-    state = trainer.fit(state, scene, log_every=0 if opt.mute else 100)
+    callback = None
+    if opt.eval_interval_stages > 0 and not opt.fast_training:
+        import dataclasses as _dc
+        import time as _time
+
+        try:
+            val_full = load_blender(opt.path, "val", downscale=opt.downscale,
+                                    scale=opt.scale, offset=tuple(opt.offset))
+            val_mini = _dc.replace(val_full, images=val_full.images[:2],
+                                   poses=val_full.poses[:2])
+            t_start = _time.time()
+
+            def callback(st, aux):
+                step = int(st.step)
+                if step % opt.eval_interval_stages == 0:
+                    r = trainer.evaluate(st, val_mini, use_ema=opt.test_with_ema,
+                                         tag=f"t2p_{step}")
+                    print(f"[t2p] step {step:6d} wall {_time.time() - t_start:7.1f}s "
+                          f"val PSNR {r['PSNR']:.2f}", flush=True)
+        except FileNotFoundError:
+            pass
+
+    state = trainer.fit(state, scene, log_every=0 if opt.mute else 100,
+                        callback=callback)
     trainer.save_checkpoint(state, ckpt_path)
     trainer.save_checkpoint(state, os.path.join(opt.workspace, f"stage_{stage_idx}.pkl"))
 

@@ -29,25 +29,27 @@ _SPHERES = [
 ]
 
 
-def field(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Analytic (sigma, rgb) at (..., 3) points."""
-    sigma = np.zeros(pts.shape[:-1], np.float32)
-    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
+def field(pts: np.ndarray, xp=np) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic (sigma, rgb) at (..., 3) points. ``xp``: numpy or jax.numpy
+    (the latter lets GT rendering run jitted on the TPU — this host has one
+    CPU core, so numpy GT generation is the bottleneck otherwise)."""
+    sigma = xp.zeros(pts.shape[:-1], np.float32)
+    rgb = xp.zeros(pts.shape[:-1] + (3,), np.float32)
     for (c, r, col, dens) in _SPHERES:
-        d = np.linalg.norm(pts - np.asarray(c, np.float32), axis=-1)
-        s = dens * (1.0 / (1.0 + np.exp(np.clip((d - r) / 0.01, -60, 60))))
-        sigma += s
-        rgb += s[..., None] * np.asarray(col, np.float32)
-    rgb = rgb / np.maximum(sigma[..., None], 1e-8)
+        d = xp.linalg.norm(pts - np.asarray(c, np.float32), axis=-1)
+        s = dens * (1.0 / (1.0 + xp.exp(xp.clip((d - r) / 0.01, -60, 60))))
+        sigma = sigma + s
+        rgb = rgb + s[..., None] * np.asarray(col, np.float32)
+    rgb = rgb / xp.maximum(sigma[..., None], 1e-8)
     return sigma, rgb
 
 
-def _smoothstep_inside(signed_dist: np.ndarray, density: float, width: float) -> np.ndarray:
+def _smoothstep_inside(signed_dist, density: float, width: float, xp=np):
     """Density `density` inside (signed_dist < 0), sharp sigmoid edge."""
-    return density / (1.0 + np.exp(np.clip(signed_dist / width, -60, 60)))
+    return density / (1.0 + xp.exp(xp.clip(signed_dist / width, -60, 60)))
 
 
-def field_hf(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def field_hf(pts, xp=np) -> Tuple[np.ndarray, np.ndarray]:
     """High-frequency analytic (sigma, rgb): checkerboard-textured cube, a
     lattice of thin rods (~2 occupancy voxels thick at H=128), and a striped
     sphere. Stresses exactly what the smooth-spheres scene cannot: sharp
@@ -55,48 +57,48 @@ def field_hf(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     marching/sampling approximations (stand-in for nerf_synthetic lego, which
     cannot be downloaded in this environment)."""
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-    sigma = np.zeros(pts.shape[:-1], np.float32)
-    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
+    sigma = xp.zeros(pts.shape[:-1], np.float32)
+    rgb = xp.zeros(pts.shape[:-1] + (3,), np.float32)
 
     def add(s, col):
         nonlocal sigma, rgb
-        sigma += s
-        rgb += s[..., None] * col.astype(np.float32)
+        sigma = sigma + s
+        rgb = rgb + s[..., None] * col.astype(np.float32)
 
     # 1. striped sphere (high-frequency albedo on smooth geometry)
-    d = np.linalg.norm(pts - np.array([-0.05, -0.12, 0.0], np.float32), axis=-1) - 0.34
-    s = _smoothstep_inside(d, 70.0, 0.005)
-    stripe = (np.sin(x * 46.0) > 0).astype(np.float32)[..., None]
+    d = xp.linalg.norm(pts - np.array([-0.05, -0.12, 0.0], np.float32), axis=-1) - 0.34
+    s = _smoothstep_inside(d, 70.0, 0.005, xp)
+    stripe = (xp.sin(x * 46.0) > 0).astype(np.float32)[..., None]
     col = stripe * np.array([0.95, 0.8, 0.12]) + (1 - stripe) * np.array([0.12, 0.22, 0.78])
     add(s, col)
 
     # 2. 5x5 lattice of thin vertical rods (thin-structure stress)
     pitch = 0.3
-    xm = np.clip(np.round(x / pitch), -2, 2) * pitch
-    zm = np.clip(np.round(z / pitch), -2, 2) * pitch
-    d_rod = np.hypot(x - xm, z - zm) - 0.016
-    in_y = np.maximum(np.abs(y) - 0.55, 0.0)
-    d_rod = np.maximum(d_rod, in_y)
-    s = _smoothstep_inside(d_rod, 90.0, 0.004)
-    ix = (xm / pitch + 2).astype(np.int64)
-    iz = (zm / pitch + 2).astype(np.int64)
+    xm = xp.clip(xp.round(x / pitch), -2, 2) * pitch
+    zm = xp.clip(xp.round(z / pitch), -2, 2) * pitch
+    d_rod = xp.hypot(x - xm, z - zm) - 0.016
+    in_y = xp.maximum(xp.abs(y) - 0.55, 0.0)
+    d_rod = xp.maximum(d_rod, in_y)
+    s = _smoothstep_inside(d_rod, 90.0, 0.004, xp)
+    ix = (xm / pitch + 2).astype(np.int32)
+    iz = (zm / pitch + 2).astype(np.int32)
     hue = ((ix * 5 + iz) % 6).astype(np.float32)[..., None] / 6.0
-    col = np.concatenate(
-        [0.25 + 0.7 * np.abs(np.sin(np.pi * (hue + o))) for o in (0.0, 1 / 3, 2 / 3)],
+    col = xp.concatenate(
+        [0.25 + 0.7 * xp.abs(xp.sin(np.pi * (hue + o))) for o in (0.0, 1 / 3, 2 / 3)],
         axis=-1,
     ).reshape(hue.shape[:-1] + (3,))
     add(s, col)
 
     # 3. checker-textured cube (sharp texture + sharp silhouette)
-    q = np.abs(pts - np.array([0.48, 0.28, -0.42], np.float32)) - 0.17
-    d_box = np.max(q, axis=-1)
-    s = _smoothstep_inside(d_box, 80.0, 0.005)
-    cells = np.floor(pts * 9.0).astype(np.int64)
+    q = xp.abs(pts - np.array([0.48, 0.28, -0.42], np.float32)) - 0.17
+    d_box = xp.max(q, axis=-1)
+    s = _smoothstep_inside(d_box, 80.0, 0.005, xp)
+    cells = xp.floor(pts * 9.0).astype(np.int32)
     checker = ((cells[..., 0] + cells[..., 1] + cells[..., 2]) % 2).astype(np.float32)[..., None]
     col = checker * np.array([0.92, 0.92, 0.9]) + (1 - checker) * np.array([0.65, 0.15, 0.12])
     add(s, col)
 
-    rgb = rgb / np.maximum(sigma[..., None], 1e-8)
+    rgb = rgb / xp.maximum(sigma[..., None], 1e-8)
     return sigma, rgb
 
 
