@@ -90,3 +90,25 @@ class TestNeRFPP:
         fwd = pose[:3, 2]
         to_origin = -center / (np.linalg.norm(center) + 1e-9)
         assert float(np.dot(fwd, to_origin)) > 0.99
+
+
+class TestTopia:
+    def test_load(self, tmp_path):
+        import cv2
+
+        root = str(tmp_path / "imgs")
+        pdir = str(tmp_path / "poses")
+        os.makedirs(root)
+        os.makedirs(pdir)
+        for i in range(3):
+            _write_img(os.path.join(root, f"{i}.png"), h=16, w=16)
+            m = np.eye(4)
+            m[2, 3] = -1.0
+            np.savetxt(os.path.join(pdir, f"p_{i:03d}.txt"), m.reshape(-1))
+        from trinerflet_tpu.data.formats import load_topia_scene
+
+        sc = load_topia_scene(root, pdir, render_res=128)
+        assert sc.images.shape == (3, 16, 16, 3)
+        assert sc.intrinsics[0] == 560.0 / 4
+        # translation scaled by 2.2 then z-up -> y-up permute: z=-2.2 -> y
+        np.testing.assert_allclose(sc.poses[0][:3, 3], [0, 2.2, 0], atol=1e-5)

@@ -25,7 +25,7 @@ import numpy as np
 
 from .blender import SceneData, nerf_matrix_to_ngp
 
-__all__ = ["load_nsvf_scene", "load_nerfpp_scene"]
+__all__ = ["load_nsvf_scene", "load_nerfpp_scene", "load_topia_scene"]
 
 _OPENCV_TO_GL = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
 
@@ -120,3 +120,48 @@ def load_nerfpp_scene(
     return SceneData(images=images, poses=np.stack(poses),
                      intrinsics=(float(fx), float(fy), float(cx), float(cy)),
                      H=images.shape[1], W=images.shape[2])
+
+
+# axis permutation used by the Topia exporter (provider.py:592-599): world
+# y-up <- z-up, applied on the left of each cam2world
+_TOPIA_PERM = np.array(
+    [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float32
+)
+
+
+def load_topia_scene(
+    root: str,
+    poses_dir: str,
+    downscale: int = 1,
+    render_res: int = 128,
+    translation_scale: float = 2.2,
+) -> SceneData:
+    """Topia export (reference NeRFDatasetTopia, provider.py:590-680): numbered
+    ``{idx}.png`` images in ``root`` + per-image flattened 4x4 cam2world txt
+    files in ``poses_dir``; fixed-focal intrinsics f = 560 / (512//render_res),
+    principal point at render_res/2; translations pre-scaled by 2.2 and axes
+    permuted from z-up to y-up."""
+    pose_files = sorted(
+        os.path.join(poses_dir, f) for f in os.listdir(poses_dir)
+    )
+    ratio = 512 // render_res
+    poses, images = [], []
+    H = W = None
+    import cv2
+
+    for idx, pf in enumerate(pose_files):
+        c2w = np.loadtxt(pf).reshape(4, 4).astype(np.float32)
+        c2w[:3, 3] *= translation_scale
+        c2w = _TOPIA_PERM @ c2w
+        poses.append(c2w)
+        img = _read_image(os.path.join(root, f"{idx}.png"), 1)
+        if H is None:
+            H, W = img.shape[0] // downscale, img.shape[1] // downscale
+        if img.shape[0] != H or img.shape[1] != W:
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+        images.append(img)
+    f = 560.0 / ratio
+    return SceneData(
+        images=np.stack(images), poses=np.stack(poses),
+        intrinsics=(f, f, render_res * 0.5, render_res * 0.5), H=H, W=W,
+    )
