@@ -14,7 +14,7 @@ from trinerflet_tpu.models.triplane import TriplaneConfig
 from trinerflet_tpu.render.renderer import RenderConfig
 from trinerflet_tpu.sr.data import make_synthetic_sr_scene
 from trinerflet_tpu.sr.guidance import (
-    GuidanceConfig, make_oracle_guidance, make_resize_guidance,
+    GuidanceConfig, make_cond_guidance, make_oracle_guidance, make_resize_guidance,
 )
 from trinerflet_tpu.sr.system import SRConfig, SRSystem
 
@@ -34,7 +34,11 @@ cfg = SRConfig(total_steps=1400, sr_start_step=800, hr_fit_refresh_every=200,
 
 gcfg = GuidanceConfig(num_inference_steps=24, noise_level=20,
                       guidance_scale=1.0, max_step_percent=0.6)
-if mode == "oracle":
+if mode == "cond":
+    # conditioning-faithful SDEdit: the full DDIM tail with a prior that only
+    # sees what a real denoiser sees (honest weights-free stand-in)
+    guidance = make_cond_guidance(gcfg)
+elif mode == "oracle":
     # oracle pred-x0 = the true HR mean image: exercises the FULL SDEdit DDIM
     # tail on-chip (what a real SD checkpoint would run) with a prior that
     # knows the answer

@@ -196,3 +196,23 @@ class TestSRSystem:
                             jnp.asarray(scene.lr.images[:1, ..., :3]),
                             jnp.asarray(scene.hr.images[:1, ..., :3]) * 0 + 0.5)
         assert out.shape == (1, scene.hr.H, scene.hr.W, 3)
+
+
+class TestConditioningDenoiser:
+    def test_sdedit_recovers_conditioning(self):
+        """With the conditioning-faithful denoiser, generate_sr's output must
+        approach the (upsampled) LR conditioning image."""
+        import jax
+        import jax.numpy as jnp
+        from trinerflet_tpu.sr.guidance import GuidanceConfig, make_cond_guidance
+
+        cfg = GuidanceConfig(num_inference_steps=12, noise_level=20,
+                             guidance_scale=1.0)
+        g = make_cond_guidance(cfg)
+        rng = jax.random.PRNGKey(0)
+        lr = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+        hr = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        out = g.generate_sr(rng, lr, hr, ignore_t=1000)  # full denoise
+        up = jax.image.resize(lr, hr.shape, "bilinear")
+        err = float(jnp.abs(out - up).mean())
+        assert err < 0.08, err

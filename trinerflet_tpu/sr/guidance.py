@@ -265,6 +265,36 @@ def make_oracle_guidance(cfg: GuidanceConfig, target_hr: jnp.ndarray) -> Upscale
                             decode=lambda z: 0.5 * (z + 1.0))
 
 
+class ConditioningDenoiser:
+    """Weights-free denoiser that steers DDIM's pred_x0 toward the (noised)
+    LR conditioning channels it receives — i.e. the diffusion loop acts as an
+    iterative upsampler faithful to the per-view LR input. Unlike
+    OracleDenoiser it uses ONLY information a real denoiser sees at call time,
+    so it is the honest offline stand-in for the SD x4-upscaler prior."""
+
+    def __init__(self, schedule: DiffusionSchedule, latent_channels: int = 3):
+        self.schedule = schedule
+        self.latent_channels = latent_channels
+
+    def __call__(self, latents_in, t, noise_level, text_cond):
+        x = latents_in[..., : self.latent_channels]
+        cond = latents_in[..., self.latent_channels :][..., : self.latent_channels]
+        # the conditioning was noised at `noise_level`; its expectation is
+        # sqrt(a_nl) * clean_cond — rescale as the pred_x0 target
+        a_nl = self.schedule.alphas_cumprod[noise_level]
+        target = cond / jnp.sqrt(jnp.maximum(a_nl, 1e-8))
+        a = self.schedule.alphas_cumprod[t]
+        return (x - jnp.sqrt(a) * target) / jnp.sqrt(jnp.maximum(1.0 - a, 1e-8))
+
+
+def make_cond_guidance(cfg: GuidanceConfig) -> UpscalerGuidance:
+    """SDEdit guidance with the conditioning-faithful denoiser (no weights)."""
+    sch = DiffusionSchedule(cfg.num_train_timesteps)
+    return UpscalerGuidance(cfg, ConditioningDenoiser(sch),
+                            encode=lambda x: 2.0 * x - 1.0,
+                            decode=lambda z: 0.5 * (z + 1.0))
+
+
 def make_resize_guidance(cfg: GuidanceConfig, scale: int = 4):
     """Weights-free fallback: pseudo-GT = bilinear upsample of the LR ground
     truth blended with the HR render (keeps the SR pipeline functional when no
