@@ -70,3 +70,54 @@ class TestProposal:
         pts = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-1, maxval=1)
         g = jax.grad(lambda p: proposal_density(p, pts, self.pcfg, 1.0).sum())(self.params)
         assert float(jnp.abs(g["w"]).sum()) > 0
+
+
+class TestProposalTrainerPath:
+    def test_trainer_fits_with_proposal_renderer(self):
+        import numpy as np
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+        from trinerflet_tpu.models.nerf import NeRFConfig
+        from trinerflet_tpu.models.triplane import TriplaneConfig
+        from trinerflet_tpu.render.renderer import RenderConfig
+        from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+        scene = make_synthetic_scene(num_views=6, H=32, W=32, num_steps=48)
+        tr = Trainer(
+            NeRFConfig(triplane=TriplaneConfig(channels=4, resolution=32,
+                                               wavelet_scale=2),
+                       bound=1.0, hidden_dim=16, hidden_dim_color=16),
+            RenderConfig(bound=1.0, grid_size=16),
+            TrainConfig(iters=60, num_rays=256, renderer="proposal",
+                        proposal_samples=32, proposal_final=16,
+                        wavelet_regularization=0.0, eval_chunk=1024),
+        )
+        state = tr.init_state()
+        assert "proposal" in state.params
+        losses = []
+        tr_state = state
+        data = tr.scene_to_device(scene)
+        for _ in range(60):
+            tr_state, aux = tr._train_step(tr_state, data)
+            losses.append(float(aux["loss"]))
+        assert "interlevel" in aux
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.7
+        img, _ = tr.render_image(tr_state.params, tr_state.occ,
+                                 scene.poses[0], scene.intrinsics, 32, 32)
+        assert np.isfinite(img).all()
+
+    def test_cli_estimator_mapping(self):
+        from trinerflet_tpu.cli import build_configs, get_params
+
+        opt = get_params(["--nerfacc_renderer", "--nerfacc_estimator", "proposal",
+                          "--triplane_wavelet", "--iters", "1",
+                          "--triplane_resolution", "32",
+                          "--triplane_wavelet_levels", "2"])
+        import copy
+        o = copy.deepcopy(opt)
+        for k in ("iters", "num_rays", "triplane_resolution",
+                  "triplane_wavelet_levels", "downscale", "warmup_steps", "lr",
+                  "wavelet_regularization", "upscale_ratio_bound",
+                  "upscale_levels"):
+            setattr(o, k, getattr(opt, k)[0])
+        _, _, tc = build_configs(o)
+        assert tc.renderer == "proposal"

@@ -38,6 +38,11 @@ def get_params(argv=None):
     parser.add_argument("--num_rays", type=int, nargs="+", default=[4096])
     parser.add_argument("--cuda_ray", action="store_true",
                         help="use occupancy-grid accelerated marching (TPU path)")
+    parser.add_argument("--nerfacc_renderer", action="store_true",
+                        help="alternative estimator renderer (reference "
+                        "--nerfacc_renderer); pick with --nerfacc_estimator")
+    parser.add_argument("--nerfacc_estimator", type=str, default="proposal",
+                        choices=["occgrid", "proposal", "importance"])
     parser.add_argument("--max_steps", type=int, default=1024)
     parser.add_argument("--num_steps", type=int, default=512)
     parser.add_argument("--upsample_steps", type=int, default=0)
@@ -159,7 +164,11 @@ def build_configs(opt):
         min_near=opt.min_near,
         max_steps=opt.max_steps,
         num_steps=opt.num_steps,
-        upsample_steps=opt.upsample_steps,
+        upsample_steps=(
+            max(opt.upsample_steps, 64)
+            if (opt.nerfacc_renderer and opt.nerfacc_estimator == "importance")
+            else opt.upsample_steps
+        ),
         dt_gamma=opt.dt_gamma,
         density_scale=opt.density_scale,
         bg_radius=opt.bg_radius,
@@ -185,7 +194,12 @@ def build_configs(opt):
         z_variance_reg=opt.z_variance_reg,
         mlp_weight_decay=opt.mlp_weight_decay,
         update_extra_interval=opt.update_extra_interval,
-        renderer="occgrid" if opt.cuda_ray else "dense",
+        renderer=(
+            {"occgrid": "occgrid", "proposal": "proposal", "importance": "dense"}
+            [opt.nerfacc_estimator]
+            if opt.nerfacc_renderer
+            else ("occgrid" if opt.cuda_ray else "dense")
+        ),
         eval_chunk=opt.max_ray_batch,
         seed=opt.seed,
     )

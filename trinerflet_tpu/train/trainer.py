@@ -69,7 +69,12 @@ class TrainConfig:
     z_variance_reg: float = -1.0     # --z_variance_reg
     mlp_weight_decay: float = -1.0   # AdamW-style decay on the MLP groups only
     update_extra_interval: int = 16
-    renderer: str = "occgrid"        # "occgrid" | "dense"
+    renderer: str = "occgrid"        # "occgrid" | "dense" | "proposal"
+    # proposal estimator (reference --nerfacc_renderer proposal path,
+    # nerfacc_utils.py:188-193 + render/proposal.py)
+    proposal_samples: int = 64
+    proposal_final: int = 32
+    lambda_interlevel: float = 1.0
     error_map: bool = False          # error-guided ray sampling (--error_map)
     eval_chunk: int = 16384
     seed: int = 0
@@ -162,6 +167,14 @@ class Trainer:
         )
         self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
         self._march_retunes = 0
+        self.prop_cfg = None
+        if train_cfg.renderer == "proposal":
+            from ..render.proposal import ProposalConfig
+
+            self.prop_cfg = ProposalConfig(
+                num_proposal_samples=train_cfg.proposal_samples,
+                num_final_samples=train_cfg.proposal_final,
+            )
         self._build_jits()
 
     def _build_jits(self):
@@ -199,6 +212,11 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed) if rng is None else rng
         k_param, k_loop = jax.random.split(rng)
         params = init_nerf_params(k_param, self.nerf_cfg)
+        if self.prop_cfg is not None:
+            from ..render.proposal import init_proposal_params
+
+            k_param, k_prop = jax.random.split(k_param)
+            params["proposal"] = init_proposal_params(k_prop, self.prop_cfg)
         occ = R.init_occupancy(self.render_cfg)
         if density_grid is not None:
             occ = occ._replace(density_grid=jnp.asarray(density_grid))
@@ -272,6 +290,15 @@ class Trainer:
                 rng=k_perturb, bg_color=bg, perturb=True,
                 occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
             )
+        elif cfg.renderer == "proposal":
+            from ..render.proposal import render_proposal
+
+            out = render_proposal(
+                lambda x: self.field.density(params, planes, x),
+                lambda d, g: self.field.color(params, d, g),
+                params["proposal"], rays_o, rays_d, self.render_cfg,
+                self.prop_cfg, rng=k_perturb, bg_color=bg, perturb=True,
+            )
         else:
             out = R.render_dense(
                 lambda x: self.field.density(params, planes, x),
@@ -284,6 +311,12 @@ class Trainer:
         loss_pix = _criterion(cfg, pred, gt)
         loss = loss_pix.mean()
         aux = {"mse": jnp.mean((pred - gt) ** 2)}
+        if cfg.renderer == "proposal" and cfg.lambda_interlevel > 0:
+            from ..render.proposal import interlevel_loss
+
+            il = interlevel_loss(out)
+            loss = loss + cfg.lambda_interlevel * il
+            aux["interlevel"] = il
 
         if cfg.wavelet_regularization > 0:
             reg = wavelet_l1(params["encoder"], self.nerf_cfg.triplane, cfg.weighted_regularization)
@@ -365,6 +398,15 @@ class Trainer:
                 field_fn, rays_o, rays_d, occ.occ, rcfg,
                 bg_color=bg_color, perturb=False, occ_coarse=occ.occ_coarse,
                 occ_bbox=occ.bbox,
+            )
+        if self.cfg.renderer == "proposal":
+            from ..render.proposal import render_proposal
+
+            return render_proposal(
+                lambda x: self.field.density(params, planes, x),
+                lambda d, g: self.field.color(params, d, g),
+                params["proposal"], rays_o, rays_d, rcfg, self.prop_cfg,
+                bg_color=bg_color, perturb=False,
             )
         return R.render_dense(
             lambda x: self.field.density(params, planes, x),
