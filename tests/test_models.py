@@ -230,3 +230,46 @@ class TestLearnedTransform:
         np.testing.assert_allclose(np.asarray(newp["rotation"]),
                                    np.asarray(params["rotation"]))
         assert "lbound_scale" in newp
+
+
+class TestCornerSampler:
+    def test_matches_exact_sampler_and_grads(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from trinerflet_tpu.ops.grid_sample import (
+            grid_sample_2d, grid_sample_2d_corner, grid_sample_2d_quad)
+
+        rng = np.random.default_rng(0)
+        plane = jnp.asarray(rng.standard_normal((16, 24, 4)), jnp.float32)
+        coords = jnp.asarray(rng.uniform(-1.1, 1.1, (300, 2)), jnp.float32)
+        a = grid_sample_2d(plane, coords)
+        b = grid_sample_2d_corner(plane, coords)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        def loss(fn, p):
+            return (fn(p, coords) ** 2).sum()
+
+        ga = jax.grad(lambda p: loss(grid_sample_2d, p))(plane)
+        gb = jax.grad(lambda p: loss(grid_sample_2d_corner, p))(plane)
+        gq = jax.grad(lambda p: loss(grid_sample_2d_quad, p))(plane)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gq), atol=1e-4)
+
+    def test_triplane_dispatch_by_resolution(self):
+        import dataclasses
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from trinerflet_tpu.models.triplane import (
+            TriplaneConfig, init_triplane_params, build_planes, sample_triplane)
+
+        cfg = TriplaneConfig(channels=4, resolution=64, wavelet_scale=2,
+                             quad_max_resolution=32)  # forces corner path
+        params = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        params["base"] = jax.random.normal(jax.random.PRNGKey(1),
+                                           params["base"].shape)
+        planes = build_planes(params, cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(2), (128, 3), minval=-0.9,
+                                 maxval=0.9)
+        a = sample_triplane(planes, pts, cfg)
+        b = sample_triplane(planes, pts, dataclasses.replace(cfg, quad_max_resolution=4096))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

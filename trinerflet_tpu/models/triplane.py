@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import wavelets as W
-from ..ops.grid_sample import sample_planes, sample_planes_quad
+from ..ops.grid_sample import (sample_planes, sample_planes_corner,
+                               sample_planes_quad)
 
 __all__ = ["TriplaneConfig", "init_triplane_params", "build_planes", "sample_triplane", "wavelet_l1"]
 
@@ -65,6 +66,10 @@ class TriplaneConfig:
     # identical values, but NO coordinate gradients — disable where the
     # encoder must be differentiated w.r.t. positions (SR analytic normals)
     fast_sampler: bool = True
+    # planes larger than this skip the quad-packed table (its (H, W, 4C)
+    # buffer is >1 GB/plane at 2048^2/32ch) and use the 4-corner fast sampler
+    # with the same blocked-matmul backward at 1/4 the gradient memory
+    quad_max_resolution: int = 1024
     # experimental reference variants (triplane_encoder.py:335-362, :304-312):
     # a learnable global rotation of the sample coords (quaternion) and a
     # learnable zoom of the plane extent. Both need coordinate gradients, so
@@ -298,15 +303,16 @@ def sample_triplane(
             lb = lb * enc_params["lbound_scale"]
             transform_learned = True
 
-    sampler = (
-        sample_planes
-        if (transform_learned or not cfg.fast_sampler)
-        else sample_planes_quad
-    )
+    def pick_sampler(plane_stack):
+        if transform_learned or not cfg.fast_sampler:
+            return sample_planes
+        if plane_stack.shape[1] > cfg.quad_max_resolution:
+            return sample_planes_corner
+        return sample_planes_quad
 
     def flat_sample(plane_stack, bound):
         pc = project_to_planes(coords, bound)
-        feats = sampler(plane_stack, pc)  # (N, 3, C)
+        feats = pick_sampler(plane_stack)(plane_stack, pc)  # (N, 3, C)
         return feats.reshape(N, -1)
 
     if not cfg.upscale_enabled or "upscale_0" not in planes:

@@ -172,3 +172,53 @@ def sample_planes_quad(planes: jnp.ndarray, coords2d: jnp.ndarray) -> jnp.ndarra
         [grid_sample_2d_quad(planes[p], coords2d[p]) for p in range(planes.shape[0])]
     )
     return jnp.transpose(out, (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Corner sampler (memory-lean fast path for huge planes)
+# ---------------------------------------------------------------------------
+# The quad table materializes (H, W, 4C) — over 1 GB per plane at 2048^2/32ch,
+# which is what broke the base-light 2048 stage into HBM OOM on one v5e. This
+# variant keeps the plain 4-corner gathers forward (no packed table) and runs
+# the backward through the blocked one-hot-matmul scatter on (4N, C) rows, so
+# the gradient buffer is (H*W, C) fp32 — 4x smaller than the quad path's.
+# Like the quad path it drops coordinate gradients.
+
+
+@jax.custom_vjp
+def grid_sample_2d_corner(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    return _corner_fwd(plane, coords)[0]
+
+
+def _corner_fwd(plane, coords):
+    H, W, C = plane.shape
+    idx00, w = _corner_weights(plane.shape, coords)
+    flat = plane.reshape(H * W, C)
+    idx = jnp.stack([idx00, idx00 + 1, idx00 + W, idx00 + W + 1], axis=1)  # (N, 4)
+    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, 4, C)
+    out = (rows * w[..., None]).sum(axis=1)
+    marker = jnp.zeros((0,) + plane.shape, plane.dtype)
+    cmarker = jnp.zeros((0,), coords.dtype)
+    return out, (idx, w, marker, cmarker)
+
+
+def _corner_bwd(res, g):
+    from .scatter import scatter_add_rows
+
+    idx, w, marker, cmarker = res
+    H, W, C = marker.shape[1:]
+    rows = (w[..., None] * g[:, None, :]).reshape(-1, C).astype(jnp.float32)
+    gq = scatter_add_rows(idx.reshape(-1), rows, H * W)
+    return gq.reshape(H, W, C).astype(marker.dtype), jnp.zeros(
+        (g.shape[0], 2), cmarker.dtype
+    )
+
+
+grid_sample_2d_corner.defvjp(lambda p, c: _corner_fwd(p, c), _corner_bwd)
+
+
+def sample_planes_corner(planes: jnp.ndarray, coords2d: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.stack(
+        [grid_sample_2d_corner(planes[p], coords2d[p]) for p in range(planes.shape[0])]
+    )
+    return jnp.transpose(out, (1, 0, 2))
