@@ -262,7 +262,13 @@ class SRSystem:
 
     def _update_grid_impl(self, state: SRState):
         rng, k = jax.random.split(state.rng)
-        planes = self.field.build_planes(state.params)
+        lr_res = self.nerf_cfg.triplane.resolution // max(
+            self.nerf_cfg.triplane.low_res_scale, 1
+        )
+        planes = self.field.build_planes(
+            state.params,
+            max_resolution=max(2 * self.render_cfg.grid_size, lr_res),
+        )
 
         def density_fn(pts):
             sigma, _ = self.field.density(state.params, planes, pts,

@@ -373,7 +373,12 @@ class Trainer:
 
     def _update_grid_impl(self, state: TrainState, full: bool = True):
         rng, k = jax.random.split(state.rng)
-        planes = self.field.build_planes(state.params)
+        # the 128^3 density sweep needs no more than 2x grid-size planes
+        # (reference triplane_encoder.py:500 get_planes(max_res=2*grid)); a
+        # full 2048^2 rebuild here OOM'd the base-light stage 3
+        planes = self.field.build_planes(
+            state.params, max_resolution=2 * self.render_cfg.grid_size
+        )
 
         def density_fn(pts):
             sigma, _ = self.field.density(state.params, planes, pts)
