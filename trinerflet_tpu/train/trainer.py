@@ -621,9 +621,13 @@ class Trainer:
         )
         # rebuild occupancy bits from the loaded grid
         H, C = self.render_cfg.grid_size, self.render_cfg.cascades
-        thresh = min(payload["mean_density"], self.render_cfg.density_thresh)
+        thresh = (
+            min(payload["mean_density"], self.render_cfg.density_thresh)
+            * self.render_cfg.occ_thresh_scale
+        )
         occ_bits = jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
-        occ = occ._replace(occ=occ_bits, occ_coarse=R._dilate3(occ_bits))
+        occ = occ._replace(occ=occ_bits, occ_coarse=R._dilate3(occ_bits),
+                           bbox=R._occupied_bbox(occ_bits, self.render_cfg))
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         state = state._replace(
             params=to_dev(payload["params"]),
