@@ -307,6 +307,21 @@ def _depthwise_kernel(filt: jnp.ndarray, channels: int, axis: int) -> jnp.ndarra
     return jnp.broadcast_to(k, (channels,) + k.shape[1:])
 
 
+def _single_channel(conv_fn):
+    """Run a (B, C, H, W) depthwise conv as (B*C, 1, H, W) with a
+    single-channel kernel. XLA TPU lowers ``feature_group_count=C`` grouped
+    convs with a pathological blocked layout (a 6 GB / 4x-padded intermediate
+    at 2048^2x32ch, the base-light stage-3 OOM); folding channels into the
+    batch gives the same math with a clean layout."""
+
+    def run(x, k):
+        B, C, H, W = x.shape
+        y = conv_fn(x.reshape(B * C, 1, H, W), k[:1])
+        return y.reshape(B, C, *y.shape[2:])
+
+    return run
+
+
 def _analysis_1d(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-axis analysis: zero-pad, convolve (true convolution with the dec
     filters == correlation with their reversal), downsample by 2.
@@ -332,14 +347,13 @@ def _analysis_1d(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, axis: int) ->
     klo = _depthwise_kernel(lo_r, C, axis)
     khi = _depthwise_kernel(hi_r, C, axis)
     dn = jax.lax.conv_dimension_numbers(xp.shape, klo.shape, ("NCHW", "OIHW", "NCHW"))
-    conv = functools.partial(
+    conv = _single_channel(functools.partial(
         jax.lax.conv_general_dilated,
         window_strides=strides,
         padding="VALID",
         dimension_numbers=dn,
-        feature_group_count=C,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    ))
     return conv(xp, klo), conv(xp, khi)
 
 
@@ -362,15 +376,14 @@ def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, g0: jnp.ndarray, g1: jnp.nda
     k0 = _depthwise_kernel(g0_f, C, axis)
     k1 = _depthwise_kernel(g1_f, C, axis)
     dn = jax.lax.conv_dimension_numbers(lo.shape, k0.shape, ("NCHW", "OIHW", "NCHW"))
-    conv = functools.partial(
+    conv = _single_channel(functools.partial(
         jax.lax.conv_general_dilated,
         window_strides=(1, 1),
         padding=pads,
         lhs_dilation=lhs_dil,
         dimension_numbers=dn,
-        feature_group_count=C,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    ))
     return conv(lo, k0) + conv(hi, k1)
 
 
