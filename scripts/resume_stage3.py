@@ -11,7 +11,7 @@ ARGS = [
     "--background_color", "0", "--triplane_channels", "32",
     "--triplane_resolution", "512", "1024", "2048",
     "--triplane_wavelet_levels", "8", "16", "32",
-    "--iters", "1000", "2000", "2000",
+    "--iters", "1000", "2000", "700",
     "--num_rays", "16384", "32768", "32768",
     "--lr", "1e-2", "1e-2", "1e-2",
     "--wavelet_regularization", "0.4", "0.4", "0.4",
