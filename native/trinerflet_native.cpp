@@ -378,13 +378,17 @@ extern "C" long tn_marching_tets(const float* grid, int X, int Y, int Z, float t
 #pragma omp parallel for schedule(dynamic, 1)
   for (int x = 0; x < cx; x++) {
     long w = offsets[x];
+    // one cube emits at most 12 triangles; stage into a scratch buffer so a
+    // caller with cap_tris < total never sees writes past out + cap_tris * 9
+    float scratch[12 * 9];
     for (int y = 0; y < cy; y++)
       for (int z = 0; z < cz; z++) {
         if (w >= cap_tris) break;
         long room = cap_tris - w;
-        float* dst = out + w * 9;
-        int n = mt::do_cube(grid, Y, Z, x, y, z, thresh, dst);
-        w += n < room ? n : room;
+        int n = mt::do_cube(grid, Y, Z, x, y, z, thresh, scratch);
+        long take = n < room ? n : room;
+        std::memcpy(out + w * 9, scratch, (size_t)take * 9 * sizeof(float));
+        w += take;
       }
   }
   long written = total < cap_tris ? total : cap_tris;

@@ -1,0 +1,64 @@
+"""CLI dataset dispatch (--data_format): autodetection + end-to-end LLFF run.
+
+Reference counterpart: get_dataset (provider.py:382-388) selected by flags in
+main_nerf.py; here a single --data_format flag (with auto-sniffing) routes to
+the loaders in data/.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from trinerflet_tpu.cli import detect_data_format, get_params, load_scene, run
+from trinerflet_tpu.data.synthetic import write_synthetic_scene
+
+from .test_llff import _write_llff_dataset
+
+
+class TestDetect:
+    def test_blender(self, tmp_path):
+        root = write_synthetic_scene(str(tmp_path / "scene"), num_views=2,
+                                     num_test_views=1, H=24, W=24)
+        assert detect_data_format(root) == "blender"
+
+    def test_llff(self, tmp_path):
+        root = _write_llff_dataset(str(tmp_path / "llff"), V=3, H=24, W=24)
+        assert detect_data_format(root) == "llff"
+
+    def test_unknown_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            detect_data_format(str(tmp_path))
+
+
+class TestLoadScene:
+    def test_llff_dispatch_returns_pregen_rays(self, tmp_path):
+        root = _write_llff_dataset(str(tmp_path / "llff"), V=4, H=24, W=28)
+        opt = get_params(["--path", root, "--data_format", "llff",
+                          "--llff_ndc", "--llff_hold", "4",
+                          "--llff_downscale", "1"])
+        opt.downscale = 1
+        scene = load_scene(opt, "train")
+        assert scene.rays_o.shape == (3, 24, 28, 3)  # 1 of 4 views held out
+        assert np.abs(scene.rays_o).max() <= 1.0 + 1e-5
+
+
+class TestEndToEnd:
+    def test_cli_trains_and_evals_llff(self, tmp_path):
+        """python -m trinerflet_tpu.cli --data_format llff ... trains + evals
+        (VERDICT r2 item 5)."""
+        root = _write_llff_dataset(str(tmp_path / "llff"), V=6, H=32, W=32)
+        ws = str(tmp_path / "ws")
+        run(get_params([
+            "--path", root, "--data_format", "llff", "--llff_ndc",
+            "--llff_downscale", "1", "--llff_hold", "6",
+            "--workspace", ws, "--triplane_wavelet",
+            "--iters", "40", "--num_rays", "512",
+            "--triplane_resolution", "64", "--triplane_wavelet_levels", "2",
+            "--num_steps", "48", "--bound", "1", "--scale", "1.0",
+            "--wavelet_regularization", "0.01", "--mute",
+        ]))
+        assert os.path.exists(os.path.join(ws, "latest_model.pkl"))
+        with open(os.path.join(ws, "results_stage0.json")) as f:
+            res = json.load(f)
+        assert np.isfinite(res["PSNR"])

@@ -216,3 +216,56 @@ class TestConditioningDenoiser:
         up = jax.image.resize(lr, hr.shape, "bilinear")
         err = float(jnp.abs(out - up).mean())
         assert err < 0.08, err
+
+
+class TestSDSWiring:
+    """lambda_sds != 0 must change the HR-step gradients (VERDICT r2 item 6:
+    the reference's optional SDS term, triplane_wavelet_sr.py:630-649)."""
+
+    def _system(self, lambda_sds):
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=8, resolution=64, wavelet_scale=2,
+                                    low_res_scale=2),
+            bound=1.0, hidden_dim=32, hidden_dim_color=32,
+        )
+        render_cfg = RenderConfig(bound=1.0, grid_size=32, density_thresh=1.0,
+                                  max_steps=128, samples_per_ray_budget=16)
+        cfg = SRConfig(total_steps=2, sr_start_step=0, hr_fit_refresh_every=1,
+                       num_rays_lr=256, crop_size_lr=8, lambda_sds=lambda_sds,
+                       wavelet_regularization=0.01, eval_chunk=1024)
+        target = jnp.ones((1, 16, 16, 3)) * 0.5
+        guidance = make_oracle_guidance(
+            GuidanceConfig(num_inference_steps=4, guidance_scale=1.0), target
+        )
+        return SRSystem(nerf_cfg, render_cfg, cfg, guidance)
+
+    def test_nonzero_sds_changes_update(self):
+        import jax
+
+        crop = 16
+        ro = jnp.zeros((crop * crop, 3))
+        rd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (crop * crop, 1))
+        pgt = jnp.ones((crop, crop, 3)) * 0.25
+        lgt = jnp.ones((crop // 2, crop // 2, 3)) * 0.25
+        weights = {k: jnp.float32(v) for k, v in
+                   [("l2_hr", 1.0), ("l1_hr", 0.0), ("consistency", 0.0),
+                    ("reg", 0.0), ("percep", 0.0), ("sds", 0.0)]}
+
+        sys0 = self._system(0.0)
+        state0 = sys0.init_state(jax.random.PRNGKey(3))
+        s0, aux0 = sys0._hr_step(state0, ro, rd, pgt, lgt, weights)
+        assert "sds" not in aux0  # statically gated out
+
+        sys1 = self._system(0.5)
+        bounds = jnp.asarray(sys1.guidance.step_bounds(0), jnp.int32)
+        w_on = dict(weights, sds=jnp.float32(0.5))
+        state1 = sys1.init_state(jax.random.PRNGKey(3))
+        s1, aux1 = sys1._hr_step(state1, ro, rd, pgt, lgt, w_on, bounds)
+        assert "sds" in aux1 and np.isfinite(float(aux1["sds"]))
+        d = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.abs(b[0] - b[1]).max()),
+            jax.tree_util.tree_map(lambda x, y: (x, y),
+                                   s0.params["encoder"], s1.params["encoder"]),
+            0.0,
+        )
+        assert d > 0.0  # the SDS term moved the encoder update

@@ -53,6 +53,21 @@ def get_params(argv=None):
     parser.add_argument("--fp16", action="store_true", help="bfloat16 matmuls on TPU")
 
     # dataset
+    parser.add_argument("--data_format", type=str, default="auto",
+                        choices=["auto", "blender", "colmap", "llff", "nsvf",
+                                 "nerfpp", "topia"],
+                        help="dataset dispatch (reference get_dataset, "
+                        "provider.py:382-388); auto sniffs the directory")
+    parser.add_argument("--llff_hold", type=int, default=8,
+                        help="hold out every Nth view for val/test (LLFF/colmap)")
+    parser.add_argument("--llff_spherify", action="store_true")
+    parser.add_argument("--llff_ndc", action="store_true",
+                        help="NDC ray parameterization for LLFF scenes")
+    parser.add_argument("--llff_downscale", type=int, default=8,
+                        help="LLFF image minification factor")
+    parser.add_argument("--topia_poses_fname", type=str, default="",
+                        help="directory of per-image pose txt files (topia)")
+    parser.add_argument("--topia_render_res", type=int, default=128)
     parser.add_argument("--color_space", type=str, default="srgb")
     parser.add_argument("--preload", action="store_true")
     parser.add_argument("--bound", type=float, default=2)
@@ -117,6 +132,68 @@ def get_params(argv=None):
                         "and log wall-clock (time-to-PSNR curves; 0=end only)")
 
     return parser.parse_args(argv)
+
+
+def detect_data_format(root: str) -> str:
+    """Sniff the dataset layout (reference get_dataset dispatch is flag-driven,
+    provider.py:382-388; we also auto-detect from the directory contents)."""
+    if os.path.exists(os.path.join(root, "transforms_train.json")) or os.path.exists(
+        os.path.join(root, "transforms.json")
+    ):
+        return "blender"
+    if os.path.exists(os.path.join(root, "poses_bounds.npy")):
+        return "llff"
+    if os.path.isdir(os.path.join(root, "sparse", "0")):
+        return "colmap"
+    if os.path.isdir(os.path.join(root, "rgb")) and os.path.isdir(os.path.join(root, "pose")):
+        return "nsvf"
+    if os.path.isdir(os.path.join(root, "train", "rgb")):
+        return "nerfpp"
+    raise ValueError(f"cannot auto-detect dataset format under {root}; "
+                     f"pass --data_format explicitly")
+
+
+def load_scene(opt, split: str):
+    """Dataset dispatch: opt.data_format -> the matching loader, normalized to
+    a trainer-consumable scene (SceneData or LLFFScene)."""
+    fmt = opt.data_format
+    if fmt == "auto":
+        fmt = detect_data_format(opt.path)
+    if fmt == "blender":
+        from .data.blender import load_blender
+
+        return load_blender(opt.path, split, downscale=opt.downscale,
+                            scale=opt.scale, offset=tuple(opt.offset))
+    if fmt == "llff":
+        from .data.llff import load_llff_scene
+
+        ds = opt.llff_downscale if opt.downscale == 1 else opt.downscale
+        return load_llff_scene(opt.path, split, downscale=ds,
+                               llff_hold=opt.llff_hold,
+                               spherify=opt.llff_spherify, ndc=opt.llff_ndc)
+    if fmt == "colmap":
+        from .data.colmap import load_colmap_scene
+
+        return load_colmap_scene(opt.path, downscale=opt.downscale,
+                                 scale=opt.scale, offset=tuple(opt.offset),
+                                 hold_every=opt.llff_hold, split=split)
+    if fmt == "nsvf":
+        from .data.formats import load_nsvf_scene
+
+        return load_nsvf_scene(opt.path, split, downscale=opt.downscale,
+                               scale=opt.scale, offset=tuple(opt.offset))
+    if fmt == "nerfpp":
+        from .data.formats import load_nerfpp_scene
+
+        return load_nerfpp_scene(opt.path, split, downscale=opt.downscale,
+                                 scale=opt.scale, offset=tuple(opt.offset))
+    if fmt == "topia":
+        from .data.formats import load_topia_scene
+
+        poses_dir = opt.topia_poses_fname or os.path.join(opt.path, "poses")
+        return load_topia_scene(opt.path, poses_dir, downscale=opt.downscale,
+                                render_res=opt.topia_render_res)
+    raise ValueError(fmt)
 
 
 STAGE_KEYS = [
@@ -264,23 +341,23 @@ def write_video(path, frames, fps=25):
 def run_stage(opt, stage_idx, prev_cfgs):
     import jax
 
-    from .data.blender import load_blender
     from .render.renderer import mark_untrained_grid
     from .train.trainer import Trainer
 
     nerf_cfg, render_cfg, train_cfg = build_configs(opt)
     trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
 
-    scene = load_blender(opt.path, "train", downscale=opt.downscale,
-                         scale=opt.scale, offset=tuple(opt.offset))
+    scene = load_scene(opt, "train")
     ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
     rng = jax.random.PRNGKey(opt.seed)
     if stage_idx > 0 and os.path.exists(ckpt_path) and prev_cfgs is not None:
         print(f"[stage {stage_idx}] growing from {ckpt_path}")
         state = trainer.load_model_for_stage(ckpt_path, rng, prev_cfgs[0])
-    else:
+    elif getattr(scene, "poses", None) is not None:
         grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
         state = trainer.init_state(rng, density_grid=grid)
+    else:  # pregen-ray scenes (LLFF/NDC) have no pinhole poses to cull with
+        state = trainer.init_state(rng)
 
     callback = None
     if opt.eval_interval_stages > 0 and not opt.fast_training:
@@ -288,10 +365,14 @@ def run_stage(opt, stage_idx, prev_cfgs):
         import time as _time
 
         try:
-            val_full = load_blender(opt.path, "val", downscale=opt.downscale,
-                                    scale=opt.scale, offset=tuple(opt.offset))
-            val_mini = _dc.replace(val_full, images=val_full.images[:2],
-                                   poses=val_full.poses[:2])
+            val_full = load_scene(opt, "val")
+            if getattr(val_full, "poses", None) is not None:
+                val_mini = _dc.replace(val_full, images=val_full.images[:2],
+                                       poses=val_full.poses[:2])
+            else:
+                val_mini = _dc.replace(val_full, images=val_full.images[:2],
+                                       rays_o=val_full.rays_o[:2],
+                                       rays_d=val_full.rays_d[:2])
             t_start = _time.time()
 
             def callback(st, aux):
@@ -311,8 +392,7 @@ def run_stage(opt, stage_idx, prev_cfgs):
 
     if not opt.fast_training:
         try:
-            val = load_blender(opt.path, "val", downscale=opt.downscale,
-                               scale=opt.scale, offset=tuple(opt.offset))
+            val = load_scene(opt, "val")
             res = trainer.evaluate(state, val, use_ema=opt.test_with_ema,
                                    tag=f"results_stage{stage_idx}")
             print(f"[stage {stage_idx}] val PSNR={res['PSNR']:.3f} SSIM={res['SSIM']:.4f}")
@@ -324,7 +404,6 @@ def run_stage(opt, stage_idx, prev_cfgs):
 def run_test(opt):
     import jax
 
-    from .data.blender import load_blender
     from .train.trainer import Trainer
 
     nerf_cfg, render_cfg, train_cfg = build_configs(opt)
@@ -336,8 +415,7 @@ def run_test(opt):
         save_triplane_pngs(state.params, os.path.join(opt.workspace, "planes"))
         return
 
-    test = load_blender(opt.path, "test", downscale=opt.downscale,
-                        scale=opt.scale, offset=tuple(opt.offset))
+    test = load_scene(opt, "test")
     res = trainer.evaluate(state, test, use_ema=opt.test_with_ema,
                            save_dir=os.path.join(opt.workspace, "test_renders"),
                            tag="results")
@@ -354,8 +432,12 @@ def run_test(opt):
     frames = []
     params = state.ema_params if opt.test_with_ema else state.params
     for v in range(test.num_views):
-        img, _ = trainer.render_image(params, state.occ, test.poses[v],
-                                      test.intrinsics, test.H, test.W)
+        if getattr(test, "poses", None) is not None:
+            img, _ = trainer.render_image(params, state.occ, test.poses[v],
+                                          test.intrinsics, test.H, test.W)
+        else:
+            img, _ = trainer.render_rays(params, state.occ, test.rays_o[v],
+                                         test.rays_d[v], test.H, test.W)
         frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
     write_video(os.path.join(opt.workspace, "test_video.mp4"), frames, fps=25)
 

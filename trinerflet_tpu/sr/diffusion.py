@@ -228,12 +228,14 @@ def _transformer_2d(p, x, context, heads: int, groups: int, linear_proj: bool):
     return h + res
 
 
-def _resnet_block(p, x, temb, groups: int):
-    h = _group_norm(p["norm1"], x, groups)
+def _resnet_block(p, x, temb, groups: int, eps: float = 1e-5):
+    # UNet resnets use the config norm_eps (1e-5); diffusers VAE blocks
+    # hardcode resnet_eps=1e-6 — callers on the VAE path pass it explicitly
+    h = _group_norm(p["norm1"], x, groups, eps=eps)
     h = _conv(p["conv1"], jax.nn.silu(h))
     if temb is not None and "time_emb_proj" in p:
         h = h + _linear(p["time_emb_proj"], jax.nn.silu(temb))[:, None, None, :]
-    h = _group_norm(p["norm2"], h, groups)
+    h = _group_norm(p["norm2"], h, groups, eps=eps)
     h = _conv(p["conv2"], jax.nn.silu(h))
     if "conv_shortcut" in p:
         x = _conv(p["conv_shortcut"], x, 1, 0)
@@ -342,7 +344,7 @@ def unet_apply(
 # ---------------------------------------------------------------------------
 
 def _vae_mid(p, x, groups: int, attention: bool):
-    x = _resnet_block(p["resnets"]["0"], x, None, groups)
+    x = _resnet_block(p["resnets"]["0"], x, None, groups, eps=1e-6)
     if attention and "attentions" in p:
         B, H, W, C = x.shape
         res = x
@@ -350,7 +352,7 @@ def _vae_mid(p, x, groups: int, attention: bool):
         h = h.reshape(B, H * W, C)
         h = _attention(p["attentions"]["0"], h, None, heads=1)
         x = res + h.reshape(B, H, W, C)
-    return _resnet_block(p["resnets"]["1"], x, None, groups)
+    return _resnet_block(p["resnets"]["1"], x, None, groups, eps=1e-6)
 
 
 def vae_encode(params: Dict, cfg: VAEConfig, x: jnp.ndarray,
@@ -363,7 +365,7 @@ def vae_encode(params: Dict, cfg: VAEConfig, x: jnp.ndarray,
     for bi in range(len(cfg.block_out_channels)):
         bp = e["down_blocks"][str(bi)]
         for li in range(cfg.layers_per_block):
-            h = _resnet_block(bp["resnets"][str(li)], h, None, g)
+            h = _resnet_block(bp["resnets"][str(li)], h, None, g, eps=1e-6)
         if "downsamplers" in bp:
             # diffusers pads asymmetrically ((0,1),(0,1)) for VAE downsample
             hpad = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -372,7 +374,7 @@ def vae_encode(params: Dict, cfg: VAEConfig, x: jnp.ndarray,
                 ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bp["downsamplers"]["0"]["conv"]["bias"]
     h = _vae_mid(e["mid_block"], h, g, cfg.mid_attention)
-    h = jax.nn.silu(_group_norm(e["conv_norm_out"], h, g))
+    h = jax.nn.silu(_group_norm(e["conv_norm_out"], h, g, eps=1e-6))
     moments = _conv(e["conv_out"], h)
     moments = _conv(params["quant_conv"], moments, 1, 0)
     mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -393,10 +395,10 @@ def vae_decode(params: Dict, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     for bi in range(n):
         bp = d["up_blocks"][str(bi)]
         for li in range(cfg.layers_per_block + 1):
-            h = _resnet_block(bp["resnets"][str(li)], h, None, g)
+            h = _resnet_block(bp["resnets"][str(li)], h, None, g, eps=1e-6)
         if "upsamplers" in bp:
             h = _upsample(bp["upsamplers"]["0"], h)
-    h = jax.nn.silu(_group_norm(d["conv_norm_out"], h, g))
+    h = jax.nn.silu(_group_norm(d["conv_norm_out"], h, g, eps=1e-6))
     return _conv(d["conv_out"], h)
 
 

@@ -209,15 +209,22 @@ class UpscalerGuidance:
         lr_image: jnp.ndarray,
         hr_render: jnp.ndarray,
         step: int = 0,
+        t_bounds: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Score-distillation loss (compute_grad_sds, sd_guidance_sr.py:223-344,
         via the reparameterization at :668-673): grad = w(t)(eps_pred - eps),
-        returned as 0.5 * ||latents - stop_grad(latents - grad)||^2."""
+        returned as 0.5 * ||latents - stop_grad(latents - grad)||^2.
+
+        ``t_bounds``: (2,) int32 [min, max] timestep range — pass this when
+        calling under jit (host ``step``-based annealing is not traceable)."""
         cfg = self.cfg
         sch = self.schedule
         k_t, k_n, k_c = jax.random.split(rng, 3)
-        mn, mx = self.step_bounds(step)
-        t = int(jax.random.randint(k_t, (), mn, mx + 1))
+        if t_bounds is not None:
+            t = jax.random.randint(k_t, (), t_bounds[0], t_bounds[1] + 1)
+        else:
+            mn, mx = self.step_bounds(step)
+            t = int(jax.random.randint(k_t, (), mn, mx + 1))
 
         latents = self.encode(hr_render)
         cond = 2.0 * lr_image - 1.0
@@ -308,7 +315,7 @@ def make_resize_guidance(cfg: GuidanceConfig, scale: int = 4):
         def step_bounds(self, step):
             return 0, cfg.num_train_timesteps
 
-        def sds_loss(self, rng, lr_image, hr_render, step=0):
+        def sds_loss(self, rng, lr_image, hr_render, step=0, t_bounds=None):
             up = jax.image.resize(lr_image, hr_render.shape, "bilinear")
             return jnp.mean((hr_render - jax.lax.stop_gradient(up)) ** 2)
 

@@ -114,6 +114,16 @@ class SRSystem:
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
             optax.scale_by_schedule(lambda s: -1.0 * lr_schedule(tc)(s)),
         )
+        # deep test-time budgets for full-frame renders (reference
+        # render_high_res chunking, triplane_wavelet_sr.py:797-829)
+        self.eval_render_cfg = render_cfg.for_eval()
+        ratio = max(1, self.eval_render_cfg.samples_per_ray_budget
+                    // max(render_cfg.samples_per_ray_budget, 1))
+        self.eval_chunk = max(1024, cfg.eval_chunk // ratio)
+        # SDS is traced into the HR step only when the schedule can be nonzero
+        self._use_sds = not (
+            isinstance(cfg.lambda_sds, (int, float)) and cfg.lambda_sds == 0
+        )
         self._lr_step = jax.jit(self._lr_step_impl, donate_argnums=(0,))
         self._lr_stream_step = jax.jit(self._lr_stream_step_impl, donate_argnums=(0,))
         self._hr_step = jax.jit(self._hr_step_impl, donate_argnums=(0,))
@@ -122,21 +132,27 @@ class SRSystem:
 
     # ------------------------------------------------------------------ init
 
-    def init_state(self, rng: Optional[jax.Array] = None) -> SRState:
+    def init_state(self, rng: Optional[jax.Array] = None,
+                   density_grid: Optional[np.ndarray] = None) -> SRState:
         rng = jax.random.PRNGKey(self.cfg.seed) if rng is None else rng
         k1, k2 = jax.random.split(rng)
         params = init_nerf_params(k1, self.nerf_cfg)
+        occ = R.init_occupancy(self.render_cfg)
+        if density_grid is not None:
+            # camera-frustum culling seed (reference mark_untrained_grid)
+            occ = occ._replace(density_grid=jnp.asarray(density_grid))
         return SRState(
             params=params,
             opt_state=self.optimizer.init(params),
-            occ=R.init_occupancy(self.render_cfg),
+            occ=occ,
             step=jnp.zeros((), jnp.int32),
             rng=k2,
         )
 
     # -------------------------------------------------------------- internal
 
-    def _render(self, params, occ, rays_o, rays_d, mode, rng=None, perturb=False):
+    def _render(self, params, occ, rays_o, rays_d, mode, rng=None, perturb=False,
+                train: bool = True):
         planes = self.field.build_planes(params)
         if mode == "high_res" and "high_res" not in planes:
             mode = "full"
@@ -146,8 +162,10 @@ class SRSystem:
 
         bg = jnp.full((rays_o.shape[0], 3), self.cfg.background_color, jnp.float32)
         return R.render_occgrid(
-            field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
+            field_fn, rays_o, rays_d, occ.occ,
+            self.render_cfg if train else self.eval_render_cfg,
             rng=rng, bg_color=bg, perturb=perturb, occ_coarse=occ.occ_coarse,
+            occ_bbox=occ.bbox,
         )
 
     def _apply_updates(self, state, grads, aux):
@@ -179,10 +197,10 @@ class SRSystem:
 
     # ------------------------------------------------------------ phase 1
 
-    def _lr_step_impl(self, state: SRState, images, poses, intrinsics, weight_pack):
+    def _lr_step_impl(self, state: SRState, images, poses, intrinsics, weights):
         rng, k_batch, k_perturb = jax.random.split(state.rng, 3)
         state = state._replace(rng=rng)
-        w_lr, w_reg = weight_pack[0], weight_pack[1]
+        w_lr, w_reg = weights["lr"], weights["reg"]
 
         def loss_fn(params):
             rays_o, rays_d, pixels = sample_ray_batch(
@@ -199,12 +217,12 @@ class SRSystem:
         aux["loss"] = loss
         return self._apply_updates(state, grads, aux)
 
-    def _lr_stream_step_impl(self, state: SRState, rays_o, rays_d, rgb, weight_pack):
+    def _lr_stream_step_impl(self, state: SRState, rays_o, rays_d, rgb, weights):
         """Phase-1 step on a pre-shuffled ray chunk (low_res_shuffled) or on
         precomputed LLFF/NDC rays."""
         rng, k_perturb = jax.random.split(state.rng)
         state = state._replace(rng=rng)
-        w_lr, w_reg = weight_pack[0], weight_pack[1]
+        w_lr, w_reg = weights["lr"], weights["reg"]
 
         def loss_fn(params):
             out = self._render(params, state.occ, rays_o, rays_d, "low_res",
@@ -221,12 +239,9 @@ class SRSystem:
     # ------------------------------------------------------------ phase 2
 
     def _hr_step_impl(self, state: SRState, rays_o, rays_d, pseudo_gt, lr_gt,
-                      weight_pack):
-        rng, k_perturb = jax.random.split(state.rng)
+                      weights, sds_t_bounds=None):
+        rng, k_perturb, k_sds = jax.random.split(state.rng, 3)
         state = state._replace(rng=rng)
-        w_l2, w_l1, w_cons, w_reg, w_percep = (weight_pack[0], weight_pack[1],
-                                               weight_pack[2], weight_pack[3],
-                                               weight_pack[4])
         scale = pseudo_gt.shape[0] // lr_gt.shape[0]
 
         def loss_fn(params):
@@ -241,7 +256,8 @@ class SRSystem:
             cons = jnp.mean((pred_lr - lr_gt) ** 2)
             reg = wavelet_l1(params["encoder"], self.nerf_cfg.triplane,
                              self.cfg.weighted_regularization)
-            loss = w_l2 * l2 + w_l1 * l1 + w_cons * cons + w_reg * reg
+            loss = (weights["l2_hr"] * l2 + weights["l1_hr"] * l1
+                    + weights["consistency"] * cons + weights["reg"] * reg)
             aux = {"l2_hr": l2, "l1_hr": l1, "consistency": cons, "reg": reg}
             if self.lpips_params is not None:
                 from ..utils.lpips import lpips as lpips_dist
@@ -250,8 +266,16 @@ class SRSystem:
                     self.lpips_params, jnp.clip(pred_lr, 0, 1)[None],
                     jnp.clip(lr_gt, 0, 1)[None], net=self.lpips_net,
                 ).mean()
-                loss = loss + w_percep * percep
+                loss = loss + weights["percep"] * percep
                 aux["consistency_perceptual"] = percep
+            if self._use_sds and sds_t_bounds is not None:
+                # optional score-distillation term on the rendered HR crop
+                # (reference triplane_wavelet_sr.py:630-649)
+                sds = self.guidance.sds_loss(
+                    k_sds, lr_gt[None], pred[None], t_bounds=sds_t_bounds
+                )
+                loss = loss + weights["sds"] * sds
+                aux["sds"] = sds
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -279,7 +303,7 @@ class SRSystem:
         return state._replace(occ=occ, rng=rng)
 
     def _render_chunk_impl(self, params, occ, rays_o, rays_d, mode: str = "full"):
-        return self._render(params, occ, rays_o, rays_d, mode)
+        return self._render(params, occ, rays_o, rays_d, mode, train=False)
 
     def render_view(self, params, occ, pose, intrinsics, H, W, mode="full",
                     rays=None):
@@ -290,7 +314,7 @@ class SRSystem:
             rays_d = np.asarray(rays[1]).reshape(-1, 3)
         else:
             rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
-        chunk = self.cfg.eval_chunk
+        chunk = self.eval_chunk
         imgs = []
         for s in range(0, H * W, chunk):
             ro, rd = rays_o[s : s + chunk], rays_d[s : s + chunk]
@@ -341,10 +365,10 @@ class SRSystem:
                 state = self._update_grid(state)
 
             if step < cfg.sr_start_step:
-                weights = jnp.asarray(
-                    [C(cfg.lambda_lr, step), C(cfg.wavelet_regularization, step)],
-                    jnp.float32,
-                )
+                weights = {
+                    "lr": jnp.float32(C(cfg.lambda_lr, step)),
+                    "reg": jnp.float32(C(cfg.wavelet_regularization, step)),
+                }
                 if stream is not None:
                     ro_c, rd_c, rgb_c = next(stream)
                     state, aux = self._lr_stream_step(
@@ -393,14 +417,21 @@ class SRSystem:
                     scene.lr.images[v, x0l : x0l + cfg.crop_size_lr,
                                     y0l : y0l + cfg.crop_size_lr, :3]
                 )
-                weights = jnp.asarray(
-                    [C(cfg.lambda_l2_hr, step), C(cfg.lambda_l1_hr, step),
-                     C(cfg.lambda_lr_consistency, step),
-                     C(cfg.wavelet_regularization, step),
-                     C(cfg.lambda_lr_consistency_perceptual, step)],
-                    jnp.float32,
-                )
-                state, aux = self._hr_step(state, ro, rd, pgt, lgt, weights)
+                weights = {
+                    "l2_hr": jnp.float32(C(cfg.lambda_l2_hr, step)),
+                    "l1_hr": jnp.float32(C(cfg.lambda_l1_hr, step)),
+                    "consistency": jnp.float32(C(cfg.lambda_lr_consistency, step)),
+                    "reg": jnp.float32(C(cfg.wavelet_regularization, step)),
+                    "percep": jnp.float32(
+                        C(cfg.lambda_lr_consistency_perceptual, step)),
+                    "sds": jnp.float32(C(cfg.lambda_sds, step)),
+                }
+                sds_t_bounds = None
+                if self._use_sds:
+                    mn, mx = self.guidance.step_bounds(step)
+                    sds_t_bounds = jnp.asarray([mn, mx], jnp.int32)
+                state, aux = self._hr_step(state, ro, rd, pgt, lgt, weights,
+                                           sds_t_bounds)
 
             if log_every and (it % log_every == 0 or it == cfg.total_steps - 1):
                 print(f"sr step {step:6d} loss {float(aux['loss']):.5f} "

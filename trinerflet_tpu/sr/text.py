@@ -49,13 +49,19 @@ class TextConfig:
 
     @classmethod
     def from_json(cls, path: str) -> "TextConfig":
+        """Build from a transformers ``config.json``.
+
+        Diffusers SD2-family/x4-upscaler text-encoder checkpoints already ship
+        with the penultimate-layer trim baked in (config says 23 layers and the
+        reference runs all of them via ``text_encoder(...)[0]``), so the layer
+        count is used as-is; only an untrimmed 24-layer OpenCLIP tower gets the
+        penultimate trim applied here."""
         with open(path) as f:
             c = json.load(f)
         layers = c["num_hidden_layers"]
-        # SD2.x consumes the penultimate hidden state
         return cls(
             vocab_size=c["vocab_size"], hidden_size=c["hidden_size"],
-            num_layers=layers - 1 if c.get("num_hidden_layers", 0) >= 23 else layers,
+            num_layers=layers - 1 if layers >= 24 else layers,
             num_heads=c["num_attention_heads"],
             intermediate_size=c["intermediate_size"],
             max_length=c.get("max_position_embeddings", 77),
@@ -137,9 +143,30 @@ def init_text_params(rng: jax.Array, cfg: TextConfig) -> Dict:
 # Tokenizer (CLIP byte-level BPE; loads the checkpoint's vocab/merges)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP byte-level fallback map: every byte gets a printable unicode
+    char that exists in the vocab, so no input can tokenize to <unk>."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
 class CLIPTokenizer:
+    # CLIP's BPE regex ('s|'t|...|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+) in
+    # stdlib-re form: letter runs, SINGLE digits, greedy non-alnum runs
+    # (underscore counts as punctuation, not a word char).
     PAT = re.compile(
-        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\s\w]|\w+",
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\w\s]|_)+",
         re.IGNORECASE,
     )
 
@@ -154,6 +181,7 @@ class CLIPTokenizer:
         self.max_length = max_length
         self.bos = self.vocab.get("<|startoftext|>", 49406)
         self.eos = self.vocab.get("<|endoftext|>", 49407)
+        self.byte_encoder = _bytes_to_unicode()
 
     def _bpe(self, word: str) -> List[str]:
         parts = list(word[:-1]) + [word[-1] + "</w>"]
@@ -167,9 +195,16 @@ class CLIPTokenizer:
         return parts
 
     def __call__(self, text: str) -> np.ndarray:
-        text = html.unescape(text.strip().lower())
+        text = html.unescape(html.unescape(text.strip()))
+        text = re.sub(r"\s+", " ", text).lower()
         ids = [self.bos]
         for tok in self.PAT.findall(text):
+            if tok in ("<|startoftext|>", "<|endoftext|>"):
+                ids.append(self.bos if tok == "<|startoftext|>" else self.eos)
+                continue
+            # byte-level fallback: every byte maps to a vocab char, so
+            # arbitrary input (emoji, CJK, ...) never produces <unk>
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(tok):
                 ids.append(self.vocab.get(piece, self.eos))
             if len(ids) >= self.max_length - 1:

@@ -136,10 +136,14 @@ class TextTo3DSystem:
             )
             tgt = jnp.asarray(targets[v, x0:x0 + crop, y0:y0 + crop])
             lr_tgt = jax.image.resize(tgt[None], (1, crop // 4, crop // 4, 3), "bilinear")[0]
-            weights = jnp.asarray(
-                [C(cfg.lambda_fit, step), 0.0, 0.0,
-                 C(cfg.wavelet_regularization, step)], jnp.float32,
-            )
+            weights = {
+                "l2_hr": jnp.float32(C(cfg.lambda_fit, step)),
+                "l1_hr": jnp.float32(0.0),
+                "consistency": jnp.float32(0.0),
+                "reg": jnp.float32(C(cfg.wavelet_regularization, step)),
+                "percep": jnp.float32(0.0),
+                "sds": jnp.float32(0.0),
+            }
             state, aux = self.inner._hr_step(state, ro, rd, tgt, lr_tgt, weights)
 
             if log_every and (it % log_every == 0 or it == cfg.total_steps - 1):
