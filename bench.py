@@ -94,19 +94,27 @@ def main():
     # (block_until_ready on donated-state outputs returns early through the
     #  axon relay; always force with a host transfer when timing)
 
+    # 3 timed windows -> mean +/- std across repeats (run-to-run spread was
+    # invisible in rounds 1-2; a +/-10% spread matters at this precision)
     steps = 10 if smoke else 50
-    t0 = time.perf_counter()
-    for i in range(steps):
-        if i % train_cfg.update_extra_interval == 0:
-            state = trainer._update_grid(
-                state, full=int(state.occ.iter_density) < 16)
-        state, aux = trainer._train_step(state, data)
-    final_loss = float(aux["loss"])
-    dt = time.perf_counter() - t0
+    repeats = 1 if smoke else 3
+    window_ms = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            if i % train_cfg.update_extra_interval == 0:
+                state = trainer._update_grid(
+                    state, full=int(state.occ.iter_density) < 16)
+            state, aux = trainer._train_step(state, data)
+        final_loss = float(aux["loss"])
+        window_ms.append((time.perf_counter() - t0) / steps * 1e3)
 
-    rays_per_sec = num_rays * steps / dt
+    ms = float(np.mean(window_ms))
+    ms_std = float(np.std(window_ms))
+    rays_per_sec = num_rays / ms * 1e3
     mean_samples = float(aux["num_samples"])
-    print(f"# devices {n_dev}; step time {dt / steps * 1e3:.2f} ms; "
+    print(f"# devices {n_dev}; step time {ms:.2f} +/- {ms_std:.2f} ms "
+          f"(windows: {[round(w, 1) for w in window_ms]}); "
           f"samples/step {mean_samples:,.0f} "
           f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)
