@@ -85,6 +85,14 @@ def get_params(argv=None):
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--background_color", type=float, default=0)
     parser.add_argument("--train_rand_bg", action="store_true")
+    parser.add_argument("--rand_pose", type=int, default=-1,
+                        help="semi-supervised CLIP mode (reference utils.py:500): "
+                             "-1 off, 0 CLIP-only, k>0 one CLIP step per k supervised")
+    parser.add_argument("--clip_text", type=str, default="",
+                        help="text prompt for --rand_pose CLIP guidance")
+    parser.add_argument("--clip_ckpt", type=str, default="",
+                        help="dir with a transformers CLIPModel checkpoint "
+                             "(config.json + model.safetensors + vocab/merges)")
     parser.add_argument("--error_map", action="store_true",
                         help="error-guided ray sampling")
     parser.add_argument("--triplane_channels", type=int, default=16)
@@ -338,6 +346,55 @@ def write_video(path, frames, fps=25):
         cv2.imwrite(os.path.join(seq_dir, f"{i:04d}.png"), f[..., ::-1])
 
 
+def _build_clip_loss(opt):
+    """CLIPLoss from a transformers CLIPModel checkpoint dir (--clip_ckpt).
+
+    Expects diffusers/transformers layout: config.json + model.safetensors
+    (or pytorch_model.bin) + vocab.json + merges.txt. Reference clip_utils.py
+    downloads ViT-B/16 instead; this environment is offline so the weights
+    are user-supplied."""
+    import glob
+
+    from .sr.text import CLIPTokenizer, TextConfig
+    from .utils.clip_loss import CLIPLoss, VisionConfig, state_dict_to_tree
+
+    d = opt.clip_ckpt
+    if not d or not os.path.isdir(d):
+        raise NotImplementedError(
+            "--rand_pose needs --clip_ckpt <dir> with a CLIP ViT checkpoint "
+            "(no weights ship in this offline environment)")
+    cfg_path = os.path.join(d, "config.json")
+    vcfg = VisionConfig.from_json(cfg_path)
+    with open(cfg_path) as f:
+        tc = __import__("json").loads(f.read()).get("text_config", {})
+    tcfg = TextConfig(
+        vocab_size=tc.get("vocab_size", 49408),
+        hidden_size=tc.get("hidden_size", 512),
+        num_layers=tc.get("num_hidden_layers", 12),
+        num_heads=tc.get("num_attention_heads", 8),
+        intermediate_size=tc.get("intermediate_size", 2048),
+        max_length=tc.get("max_position_embeddings", 77),
+        hidden_act=tc.get("hidden_act", "quick_gelu"),
+    )
+    st = glob.glob(os.path.join(d, "*.safetensors"))
+    if st:
+        from safetensors.numpy import load_file
+
+        flat = load_file(st[0])
+    else:
+        import torch
+
+        flat = {k: v.numpy() for k, v in
+                torch.load(glob.glob(os.path.join(d, "*.bin"))[0],
+                           map_location="cpu", weights_only=True).items()}
+    params = state_dict_to_tree(flat)
+    tok = CLIPTokenizer(os.path.join(d, "vocab.json"),
+                        os.path.join(d, "merges.txt"), tcfg.max_length)
+    loss = CLIPLoss(params=params, vision_cfg=vcfg, text_cfg=tcfg, tokenizer=tok)
+    loss.prepare_text([opt.clip_text or "an object"])
+    return loss
+
+
 def run_stage(opt, stage_idx, prev_cfgs):
     import jax
 
@@ -346,6 +403,9 @@ def run_stage(opt, stage_idx, prev_cfgs):
 
     nerf_cfg, render_cfg, train_cfg = build_configs(opt)
     trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
+
+    if opt.rand_pose >= 0:
+        trainer.set_clip_guidance(_build_clip_loss(opt), opt.rand_pose)
 
     scene = load_scene(opt, "train")
     ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rays_for_pixels", "rays_full_image", "sample_ray_batch"]
+__all__ = ["rays_for_pixels", "rays_full_image", "sample_ray_batch", "rand_poses"]
 
 
 def rays_for_pixels(
@@ -135,3 +135,33 @@ def sample_ray_batch_pregen(
     pix_idx = jax.random.randint(k2, (num_rays,), 0, H * W)
     flat = lambda a: a.reshape(V, H * W, -1)[img_idx, pix_idx]
     return flat(rays_o), flat(rays_d), flat(images)
+
+
+def rand_poses(rng: np.random.Generator, size: int, radius: float = 1.0,
+               theta_range=(np.pi / 3, 2 * np.pi / 3),
+               phi_range=(0, 2 * np.pi)) -> np.ndarray:
+    """Random orbit-camera poses looking at the origin (B, 4, 4).
+
+    Reference: provider.rand_poses (provider.py:61-96) — spherical centers,
+    forward = -normalize(center), up = (0, -1, 0) before orthogonalization.
+    Host-side numpy: pose generation is trivially small next to rendering.
+    """
+    thetas = rng.uniform(theta_range[0], theta_range[1], size)
+    phis = rng.uniform(phi_range[0], phi_range[1], size)
+    centers = radius * np.stack([
+        np.sin(thetas) * np.sin(phis),
+        np.cos(thetas),
+        np.sin(thetas) * np.cos(phis),
+    ], axis=-1)
+
+    def _norm(v):
+        return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-10)
+
+    fwd = -_norm(centers)
+    up = np.broadcast_to(np.array([0.0, -1.0, 0.0]), fwd.shape)
+    right = _norm(np.cross(fwd, up))
+    up = _norm(np.cross(right, fwd))
+    poses = np.tile(np.eye(4, dtype=np.float32), (size, 1, 1))
+    poses[:, :3, :3] = np.stack([right, up, fwd], axis=-1)
+    poses[:, :3, 3] = centers
+    return poses

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import pickle
 import time
@@ -167,6 +168,8 @@ class Trainer:
         )
         self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
         self._march_retunes = 0
+        self.clip_loss = None          # set via set_clip_guidance (--rand_pose)
+        self.rand_pose_interval = -1
         self.prop_cfg = None
         if train_cfg.renderer == "proposal":
             from ..render.proposal import ProposalConfig
@@ -182,6 +185,80 @@ class Trainer:
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,),
                                     static_argnames=("full",))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
+        if getattr(self, "clip_loss", None) is not None:
+            self._clip_step = jax.jit(self._clip_step_impl, donate_argnums=(0,))
+
+    # -------------------------------------------------------- CLIP guidance
+
+    def set_clip_guidance(self, clip_loss, rand_pose_interval: int,
+                          radius: Optional[float] = None):
+        """Enable semi-supervised random-pose CLIP steps (reference
+        utils.py:500-552 + provider.py:289-300). ``rand_pose_interval`` = k:
+        one CLIP step after every k supervised steps; k == 0: CLIP-only.
+        Renders a low-res full frame sized so H*W ~= cfg.num_rays."""
+        self.clip_loss = clip_loss
+        self.rand_pose_interval = int(rand_pose_interval)
+        self.clip_radius = radius if radius is not None else self.render_cfg.bound
+        side = max(16, int(math.sqrt(self.cfg.num_rays)))
+        self.clip_hw = (side, side)
+        self._clip_rng = np.random.default_rng(self.cfg.seed + 7)
+        self._clip_step = jax.jit(self._clip_step_impl, donate_argnums=(0,))
+
+    def _clip_loss_fn(self, params, occ, rng, rays_o, rays_d):
+        H, W = self.clip_hw
+        planes = self.field.build_planes(params)
+        # the reference fixes a white bg and forces all rays (utils.py:546)
+        bg = jnp.ones((rays_o.shape[0], 3), jnp.float32)
+        if self.cfg.renderer == "occgrid":
+            def field_fn(xyzs, dirs):
+                return self.field(params, planes, xyzs, dirs)
+
+            out = R.render_occgrid(
+                field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
+                rng=rng, bg_color=bg, perturb=True,
+                occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
+            )
+        else:
+            out = R.render_dense(
+                lambda x: self.field.density(params, planes, x),
+                lambda d, g: self.field.color(params, d, g),
+                rays_o, rays_d, self.render_cfg, rng=rng,
+                bg_color=bg, perturb=True,
+            )
+        img = out["image"].reshape(1, H, W, 3)
+        return self.clip_loss(img)
+
+    def _clip_step_impl(self, state: TrainState, rays_o, rays_d):
+        rng, k = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(self._clip_loss_fn)(
+            state.params, state.occ, k, rays_o, rays_d
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if self.cfg.ema_decay > 0:
+            n = state.ema_count + 1
+            decay = jnp.minimum(self.cfg.ema_decay, (1.0 + n) / (10.0 + n))
+            ema = jax.tree.map(
+                lambda e, p: e * decay + p * (1 - decay), state.ema_params, params
+            )
+        else:
+            n, ema = state.ema_count, state.ema_params
+        return state._replace(params=params, opt_state=opt_state,
+                              ema_params=ema, ema_count=n,
+                              step=state.step + 1, rng=rng), loss
+
+    def clip_guidance_step(self, state: TrainState):
+        """Sample one random orbit pose on the host and take a CLIP step."""
+        from ..data.rays import rand_poses, rays_full_image
+
+        H, W = self.clip_hw
+        pose = rand_poses(self._clip_rng, 1, radius=self.clip_radius)[0]
+        # focal chosen for a ~53deg FoV at the render size (the reference
+        # scales the dataset intrinsics by sqrt(num_rays / (H*W)))
+        f = 0.5 * W / math.tan(0.5 * math.radians(53.0))
+        ro, rd = rays_full_image(pose, (f, f, W / 2, H / 2), H, W)
+        return self._clip_step(state, jnp.asarray(ro.reshape(-1, 3)),
+                               jnp.asarray(rd.reshape(-1, 3)))
 
     def _maybe_retune_march(self, state: TrainState):
         """Shrink the static coarse-segment span to the live occupied-bbox
@@ -499,6 +576,18 @@ class Trainer:
                     state, full=int(state.occ.iter_density) < 16
                 )
                 self._maybe_retune_march(state)
+            if self.clip_loss is not None and (
+                self.rand_pose_interval == 0
+                or (self.rand_pose_interval > 0
+                    and it % (self.rand_pose_interval + 1) == self.rand_pose_interval)
+            ):
+                # semi-supervised CLIP step on a random pose (utils.py:543-552)
+                state, clip_l = self.clip_guidance_step(state)
+                aux = {"loss": clip_l, "clip_loss": clip_l}
+                if self.rand_pose_interval == 0 and callback is not None:
+                    callback(state, aux)
+                if self.rand_pose_interval == 0:
+                    continue
             state, aux = self._train_step(state, data)
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
