@@ -43,6 +43,7 @@ class TestLoadScene:
         assert np.abs(scene.rays_o).max() <= 1.0 + 1e-5
 
 
+@pytest.mark.e2e
 class TestEndToEnd:
     def test_cli_trains_and_evals_llff(self, tmp_path):
         """python -m trinerflet_tpu.cli --data_format llff ... trains + evals

@@ -99,6 +99,7 @@ class TestCLIPLoss:
             CLIPLoss()
 
 
+@pytest.mark.e2e
 class TestRandPoseTraining:
     def test_clip_step_updates_params(self):
         from trinerflet_tpu.models.nerf import NeRFConfig

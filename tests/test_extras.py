@@ -110,6 +110,7 @@ class TestLoggingUtils:
         assert t.mean_ms >= 0
 
 
+@pytest.mark.e2e
 class TestTextTo3D:
     def test_generation_loop_runs(self, tmp_path):
         """Tiny generation round with oracle guidance: must run both the

@@ -81,6 +81,7 @@ class TestLLFF:
         np.testing.assert_allclose(no[0, 2], -1.0, atol=1e-6)  # at near plane
         np.testing.assert_allclose(nd[0, 2], 2.0, atol=1e-6)   # spans to +1 at inf
 
+    @pytest.mark.e2e
     def test_fit_llff_scene(self, root):
         scene = load_llff_scene(root, "train", downscale=1, llff_hold=3)
         nerf_cfg = NeRFConfig(

@@ -47,6 +47,7 @@ class TestMesh:
         assert sh["sigma_net"]["w0"].spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.e2e
 class TestShardedTraining:
     @pytest.mark.parametrize("model_parallel", [1, 2])
     def test_sharded_step_matches_single_device(self, scene, model_parallel):

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -11,6 +12,7 @@ from trinerflet_tpu.render.proposal import (
 from tests.test_renderer import analytic_density, analytic_color, camera_rays
 
 
+@pytest.mark.e2e
 class TestProposal:
     def setup_method(self):
         self.cfg = RenderConfig(bound=1.0, num_steps=64)
@@ -72,6 +74,7 @@ class TestProposal:
         assert float(jnp.abs(g["w"]).sum()) > 0
 
 
+@pytest.mark.e2e
 class TestProposalTrainerPath:
     def test_trainer_fits_with_proposal_renderer(self):
         import numpy as np

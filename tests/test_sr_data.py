@@ -48,6 +48,7 @@ class TestShuffledStream:
             assert np.min(np.abs(grid - row).sum(-1)) < 1e-5
 
 
+@pytest.mark.e2e
 class TestLLFFSR:
     @pytest.fixture(scope="class")
     def root(self, tmp_path_factory):
@@ -88,6 +89,7 @@ class TestLLFFSR:
         assert np.isfinite(res["PSNR_hr"]) and np.isfinite(res["PSNR_lr"])
 
 
+@pytest.mark.e2e
 def test_sr_fit_with_shuffled_stream():
     from trinerflet_tpu.models.nerf import NeRFConfig
     from trinerflet_tpu.models.triplane import TriplaneConfig

@@ -52,6 +52,7 @@ class TestSchedule:
         np.testing.assert_allclose(float(fn(100)), 1e-2, rtol=1e-5)
 
 
+@pytest.mark.e2e
 class TestEndToEnd:
     @pytest.fixture(scope="class")
     def scene(self):
