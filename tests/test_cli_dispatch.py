@@ -4,6 +4,7 @@ Reference counterpart: get_dataset (provider.py:382-388) selected by flags in
 main_nerf.py; here a single --data_format flag (with auto-sniffing) routes to
 the loaders in data/.
 """
+import glob
 import json
 import os
 
@@ -63,3 +64,30 @@ class TestEndToEnd:
         with open(os.path.join(ws, "results_stage0.json")) as f:
             res = json.load(f)
         assert np.isfinite(res["PSNR"])
+
+
+@pytest.mark.e2e
+class TestCkptRotationAndBest:
+    def test_rotating_and_best_checkpoints(self, tmp_path):
+        """--eval_interval_stages saves rotating ckpt_NNNNNN.pkl (max_keep_ckpt)
+        plus best_model.pkl; --ckpt best loads it in test mode (reference
+        utils.py:1419-1438, 1466-1494)."""
+        root = _write_llff_dataset(str(tmp_path / "llff"), V=6, H=32, W=32)
+        ws = str(tmp_path / "ws")
+        args = [
+            "--path", root, "--data_format", "llff", "--llff_ndc",
+            "--llff_downscale", "1", "--llff_hold", "3",
+            "--workspace", ws, "--triplane_wavelet",
+            "--iters", "30", "--num_rays", "256",
+            "--triplane_resolution", "64", "--triplane_wavelet_levels", "2",
+            "--num_steps", "48", "--bound", "1", "--scale", "1.0",
+            "--wavelet_regularization", "0.01", "--mute",
+            "--eval_interval_stages", "10", "--max_keep_ckpt", "2",
+        ]
+        run(get_params(args))
+        kept = sorted(glob.glob(os.path.join(ws, "ckpt_*.pkl")))
+        assert len(kept) == 2, kept  # 3 saved (10/20/30), oldest rotated out
+        assert kept[0].endswith("ckpt_000020.pkl")
+        assert os.path.exists(os.path.join(ws, "best_model.pkl"))
+        run(get_params(args + ["--test", "--ckpt", "best"]))
+        assert os.path.exists(os.path.join(ws, "results.json"))

@@ -112,3 +112,47 @@ class TestTopia:
         assert sc.intrinsics[0] == 560.0 / 4
         # translation scaled by 2.2 then z-up -> y-up permute: z=-2.2 -> y
         np.testing.assert_allclose(sc.poses[0][:3, 3], [0, 2.2, 0], atol=1e-5)
+
+
+class TestRTMV:
+    def test_load_and_split(self, tmp_path):
+        import json
+
+        from trinerflet_tpu.data.formats import load_rtmv_scene
+
+        root = str(tmp_path / "rtmv")
+        os.makedirs(os.path.join(root, "images"))
+        n = 8
+        for i in range(n):
+            c2w = np.eye(4, dtype=np.float64)
+            c2w[:3, 3] = [0.1 * i, 0.2, 3.0]
+            meta = {"camera_data": {
+                "cam2world": c2w.T.tolist(),  # column-major, as RTMV writes
+                "intrinsics": {"fx": 40.0, "fy": 40.0, "cx": 8.0, "cy": 6.0},
+                "width": 16, "height": 12,
+                "scene_center_3d_box": [0, 0, 0],
+                "scene_min_3d_box": [-1, -1, -1],
+                "scene_max_3d_box": [1, 1, 1],
+            }}
+            with open(os.path.join(root, f"{i:05d}.json"), "w") as f:
+                json.dump(meta, f)
+            _write_img(os.path.join(root, "images", f"{i:05d}.png"),
+                       h=12, w=16, v=30 * (i + 1) % 255)
+
+        sc = load_rtmv_scene(root, "all", scale=1.0)
+        assert sc.images.shape == (n, 12, 16, 3)
+        assert sc.poses.shape == (n, 4, 4)
+        assert np.isfinite(sc.poses).all()
+        assert sc.intrinsics == (40.0, 40.0, 8.0, 6.0)
+        # frame-index splits: train = [0, 100) clamps to all 8 frames here
+        tr = load_rtmv_scene(root, "train", scale=1.0)
+        assert tr.images.shape[0] == n
+
+    def test_cli_autodetect(self, tmp_path):
+        from trinerflet_tpu.cli import detect_data_format
+
+        root = str(tmp_path / "r2")
+        os.makedirs(os.path.join(root, "images"))
+        with open(os.path.join(root, "00000.json"), "w") as f:
+            f.write("{}")
+        assert detect_data_format(root) == "rtmv"

@@ -34,7 +34,11 @@ def get_params(argv=None):
     # training
     parser.add_argument("--iters", type=int, nargs="+", default=[30000])
     parser.add_argument("--lr", type=float, nargs="+", default=[1e-2])
-    parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument("--ckpt", type=str, default="latest",
+                        help="latest | best | explicit checkpoint path (test mode)")
+    parser.add_argument("--max_keep_ckpt", type=int, default=2,
+                        help="rotating periodic checkpoints to keep "
+                             "(reference utils.py:1419-1425)")
     parser.add_argument("--num_rays", type=int, nargs="+", default=[4096])
     parser.add_argument("--cuda_ray", action="store_true",
                         help="use occupancy-grid accelerated marching (TPU path)")
@@ -55,7 +59,7 @@ def get_params(argv=None):
     # dataset
     parser.add_argument("--data_format", type=str, default="auto",
                         choices=["auto", "blender", "colmap", "llff", "nsvf",
-                                 "nerfpp", "topia"],
+                                 "nerfpp", "topia", "rtmv"],
                         help="dataset dispatch (reference get_dataset, "
                         "provider.py:382-388); auto sniffs the directory")
     parser.add_argument("--llff_hold", type=int, default=8,
@@ -157,6 +161,10 @@ def detect_data_format(root: str) -> str:
         return "nsvf"
     if os.path.isdir(os.path.join(root, "train", "rgb")):
         return "nerfpp"
+    if os.path.exists(os.path.join(root, "00000.json")) and os.path.isdir(
+        os.path.join(root, "images")
+    ):
+        return "rtmv"
     raise ValueError(f"cannot auto-detect dataset format under {root}; "
                      f"pass --data_format explicitly")
 
@@ -195,6 +203,11 @@ def load_scene(opt, split: str):
 
         return load_nerfpp_scene(opt.path, split, downscale=opt.downscale,
                                  scale=opt.scale, offset=tuple(opt.offset))
+    if fmt == "rtmv":
+        from .data.formats import load_rtmv_scene
+
+        return load_rtmv_scene(opt.path, split, downscale=opt.downscale,
+                               scale=opt.scale, offset=tuple(opt.offset))
     if fmt == "topia":
         from .data.formats import load_topia_scene
 
@@ -434,6 +447,8 @@ def run_stage(opt, stage_idx, prev_cfgs):
                                        rays_o=val_full.rays_o[:2],
                                        rays_d=val_full.rays_d[:2])
             t_start = _time.time()
+            kept_ckpts = []   # rotating list (reference utils.py:1419-1425)
+            best = {"psnr": -1.0}
 
             def callback(st, aux):
                 step = int(st.step)
@@ -442,6 +457,18 @@ def run_stage(opt, stage_idx, prev_cfgs):
                                          tag=f"t2p_{step}")
                     print(f"[t2p] step {step:6d} wall {_time.time() - t_start:7.1f}s "
                           f"val PSNR {r['PSNR']:.2f}", flush=True)
+                    cp = os.path.join(opt.workspace, f"ckpt_{step:06d}.pkl")
+                    trainer.save_checkpoint(st, cp)
+                    kept_ckpts.append(cp)
+                    while len(kept_ckpts) > opt.max_keep_ckpt:
+                        old = kept_ckpts.pop(0)
+                        if os.path.exists(old):
+                            os.remove(old)
+                    # best-result tracking (reference utils.py:1434-1438)
+                    if r["PSNR"] > best["psnr"]:
+                        best["psnr"] = r["PSNR"]
+                        trainer.save_checkpoint(
+                            st, os.path.join(opt.workspace, "best_model.pkl"))
         except FileNotFoundError:
             pass
 
@@ -468,7 +495,11 @@ def run_test(opt):
 
     nerf_cfg, render_cfg, train_cfg = build_configs(opt)
     trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
-    ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
+    # --ckpt latest|best|<path> (reference utils.py:1466-1494)
+    if opt.ckpt in ("latest", "best"):
+        ckpt_path = os.path.join(opt.workspace, f"{opt.ckpt}_model.pkl")
+    else:
+        ckpt_path = opt.ckpt
     state = trainer.load_checkpoint(ckpt_path)
 
     if opt.save_planes:
@@ -503,6 +534,14 @@ def run_test(opt):
 
 
 def run(opt):
+    # honor JAX_PLATFORMS via config.update: with a remote-TPU PJRT plugin
+    # registered, the env var alone leaves a long tunnel handshake before
+    # falling back — the config value short-circuits it (see CLAUDE.md)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     assert opt.path is not None and os.path.exists(opt.path), opt.path
     if opt.O:
         opt.fp16 = True

@@ -25,7 +25,8 @@ import numpy as np
 
 from .blender import SceneData, nerf_matrix_to_ngp
 
-__all__ = ["load_nsvf_scene", "load_nerfpp_scene", "load_topia_scene"]
+__all__ = ["load_nsvf_scene", "load_nerfpp_scene", "load_topia_scene",
+           "load_rtmv_scene"]
 
 _OPENCV_TO_GL = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
 
@@ -167,3 +168,51 @@ def load_topia_scene(
         images=np.stack(images), poses=np.stack(poses),
         intrinsics=(f, f, W * 0.5, H * 0.5), H=H, W=W,
     )
+
+
+def load_rtmv_scene(
+    root: str,
+    split: str = "train",
+    downscale: int = 1,
+    scale: float = 0.33,
+    offset=(0, 0, 0),
+) -> SceneData:
+    """RTMV export (reference dataset_llff/rtmv.py:14-70): per-frame
+    ``NNNNN.json`` files with ``camera_data`` (intrinsics + cam2world) next to
+    an ``images/`` directory; splits by frame index (train 0-100, trainval
+    0-105, test 105-150). 'bricks' scenes are recentred/rescaled to the scene
+    box recorded in frame 0."""
+    import json as _json
+
+    with open(os.path.join(root, "00000.json")) as f:
+        meta = _json.load(f)["camera_data"]
+    shift = np.array(meta["scene_center_3d_box"], np.float32)
+    half = (np.array(meta["scene_max_3d_box"], np.float32)
+            - np.array(meta["scene_min_3d_box"], np.float32)).max() / 2 * 1.05
+    fx, fy = meta["intrinsics"]["fx"], meta["intrinsics"]["fy"]
+    cx, cy = meta["intrinsics"]["cx"], meta["intrinsics"]["cy"]
+
+    lo, hi = {"train": (0, 100), "trainval": (0, 105),
+              "test": (105, 150), "val": (100, 105)}.get(split, (0, 150))
+    img_paths = sorted(glob.glob(os.path.join(root, "images", "*")))[lo:hi]
+    pose_paths = sorted(glob.glob(os.path.join(root, "*.json")))[lo:hi]
+    bricks = "bricks" in root
+
+    images, poses = [], []
+    for ip, pp in zip(img_paths, pose_paths):
+        with open(pp) as f:
+            p = _json.load(f)["camera_data"]
+        c2w = np.array(p["cam2world"], np.float32).T  # column-major on disk
+        c2w[:3, 1:3] *= -1  # OpenCV -> OpenGL camera axes
+        if bricks:
+            c2w[:3, 3] -= shift
+            c2w[:3, 3] /= 2 * half  # bound in [-0.5, 0.5]
+        m = np.eye(4, dtype=np.float32)
+        m[:3] = c2w[:3]
+        poses.append(nerf_matrix_to_ngp(m, scale, offset))
+        images.append(_read_image(ip, downscale))
+    images = np.stack(images)
+    fx, fy, cx, cy = (v / downscale for v in (fx, fy, cx, cy))
+    return SceneData(images=images, poses=np.stack(poses),
+                     intrinsics=(float(fx), float(fy), float(cx), float(cy)),
+                     H=images.shape[1], W=images.shape[2])
