@@ -84,11 +84,12 @@ def main():
     # clipping, unrepresentative of the steady state where training spends
     # nearly all its time)
     warm = 20 if smoke else 320
+    aux = None
     for i in range(warm):
         if i % train_cfg.update_extra_interval == 0:
             state = trainer._update_grid(
                 state, full=int(state.occ.iter_density) < 16)
-            trainer._maybe_retune_march(state)
+            trainer._maybe_retune_march(state, aux)
         state, aux = trainer._train_step(state, data)
     warm_loss = float(aux["loss"])  # device->host copy: the only reliable sync
     # (block_until_ready on donated-state outputs returns early through the
@@ -115,6 +116,8 @@ def main():
     mean_samples = float(aux["num_samples"])
     print(f"# devices {n_dev}; step time {ms:.2f} +/- {ms_std:.2f} ms "
           f"(windows: {[round(w, 1) for w in window_ms]}); "
+          f"budget {trainer.render_cfg.samples_per_ray_budget}"
+          f"/{trainer._budget_max}; "
           f"samples/step {mean_samples:,.0f} "
           f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)

@@ -180,3 +180,39 @@ class TestErrorMap:
         assert em.shape == (4, 48 * 48)  # map res follows min(128, H, W)
         assert not np.allclose(em, 1.0)  # updated away from init
         assert (em >= 0).all()
+
+
+class TestBudgetAutotune:
+    def test_budget_shrinks_to_live_demand_and_training_continues(self):
+        """budget_autotune re-jits samples_per_ray_budget toward the live p99
+        demand (the N*B layout computes every slot, so slack is pure waste);
+        eval keeps the configured budget."""
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+
+        trainer = tiny_setup(iters=80)
+        assert trainer.cfg.budget_autotune
+        configured = trainer.render_cfg.samples_per_ray_budget
+        scene = make_synthetic_scene(num_views=3, H=32, W=32, num_steps=24)
+        state = trainer.init_state()
+        state = trainer.fit(state, scene, log_every=0)
+        state, aux = trainer._train_step(state, trainer.scene_to_device(scene))
+        assert "samples_p99" in aux and "overflow_frac" in aux
+        assert np.isfinite(float(aux["samples_p99"]))
+        tuned = trainer.render_cfg.samples_per_ray_budget
+        assert tuned <= configured
+        assert trainer._budget_max == configured
+        # eval path must keep the configured (deep) budget
+        assert trainer.eval_render_cfg.samples_per_ray_budget >= configured
+        # training still steps fine at the tuned shape
+        state, aux2 = trainer._train_step(state, trainer.scene_to_device(scene))
+        assert np.isfinite(float(aux2["loss"]))
+
+    def test_autotune_disabled_keeps_budget(self):
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+
+        trainer = tiny_setup(iters=40, budget_autotune=False)
+        configured = trainer.render_cfg.samples_per_ray_budget
+        scene = make_synthetic_scene(num_views=2, H=24, W=24, num_steps=16)
+        state = trainer.init_state()
+        state = trainer.fit(state, scene, log_every=0)
+        assert trainer.render_cfg.samples_per_ray_budget == configured

@@ -136,6 +136,9 @@ def get_params(argv=None):
     # performance knobs (TPU additions)
     parser.add_argument("--samples_per_ray_budget", type=int, default=24,
                         help="static compaction budget per ray (occgrid path)")
+    parser.add_argument("--no_budget_autotune", action="store_true",
+                        help="disable shrinking the per-ray budget to the "
+                             "live p99 sample demand (TPU perf feature)")
     parser.add_argument("--eval_samples_per_ray", type=int, default=0,
                         help="deep test-time budget (reference --max_steps 4096 "
                         "eval); 0 = same as training budget")
@@ -299,6 +302,7 @@ def build_configs(opt):
             else ("occgrid" if opt.cuda_ray else "dense")
         ),
         eval_chunk=opt.max_ray_batch,
+        budget_autotune=not opt.no_budget_autotune,
         seed=opt.seed,
     )
     return nerf_cfg, render_cfg, train_cfg

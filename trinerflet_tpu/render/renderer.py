@@ -444,6 +444,12 @@ def render_occgrid(
         mean_z = depth_raw / jnp.maximum(ws, 1e-8)
         z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
         num_samples = mask.sum()
+        # per-ray demand BEFORE budget compaction (kept * stride undoes the
+        # spread subsampling): the auto-tune signal — the budget layout
+        # computes field evals + gathers for all N*B slots, so slack is waste
+        demand = mask.sum(-1).astype(jnp.float32) * stride
+        samples_p99 = jnp.quantile(demand, 0.99)
+        overflow_frac = (demand > B).mean().astype(jnp.float32)
     else:
         n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
         march = RM.march_candidates(
@@ -470,6 +476,9 @@ def render_occgrid(
             mean_z = depth_raw / jnp.maximum(ws, 1e-8)
             z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
             num_samples = mask.sum()
+            demand = mask.sum(-1).astype(jnp.float32) * stride
+            samples_p99 = jnp.quantile(demand, 0.99)
+            overflow_frac = (demand > B).mean().astype(jnp.float32)
         else:
             comp = RM.compact_samples(rays_o, rays_d, march, m_budget=N * B, bound=cfg.bound)
             sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
@@ -477,9 +486,14 @@ def render_occgrid(
                 cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
             )
             num_samples = comp.num_valid
+            samples_p99 = overflow_frac = None
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
     depth = jnp.clip(depth_raw - nears, min=0.0) / span
-    return {"image": image, "depth": depth, "weights_sum": ws,
-            "z_variance": z_var, "num_samples": num_samples}
+    out = {"image": image, "depth": depth, "weights_sum": ws,
+           "z_variance": z_var, "num_samples": num_samples}
+    if samples_p99 is not None:
+        out["samples_p99"] = samples_p99
+        out["overflow_frac"] = overflow_frac
+    return out

@@ -78,6 +78,7 @@ class TrainConfig:
     lambda_interlevel: float = 1.0
     error_map: bool = False          # error-guided ray sampling (--error_map)
     eval_chunk: int = 16384
+    budget_autotune: bool = True     # shrink samples_per_ray_budget to live p99
     seed: int = 0
 
 
@@ -168,6 +169,10 @@ class Trainer:
         )
         self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
         self._march_retunes = 0
+        self._budget_retunes = 0
+        self._budget_p99_ema = None
+        self._budget_max = render_cfg.samples_per_ray_budget
+        self._base_render_cfg = render_cfg   # configured (pre-retune) shapes
         self.clip_loss = None          # set via set_clip_guidance (--rand_pose)
         self.rand_pose_interval = -1
         self.prop_cfg = None
@@ -260,28 +265,65 @@ class Trainer:
         return self._clip_step(state, jnp.asarray(ro.reshape(-1, 3)),
                                jnp.asarray(rd.reshape(-1, 3)))
 
-    def _maybe_retune_march(self, state: TrainState):
-        """Shrink the static coarse-segment span to the live occupied-bbox
-        diagonal (+25% margin); grow it back if the bbox outgrows the span.
-        At most 4 recompiles per run; skipped until the occupancy stabilizes."""
+    def _maybe_retune_march(self, state: TrainState, aux=None):
+        """Adapt the static march shapes to the live occupancy statistics.
+
+        (a) Coarse-segment span: shrink to the occupied-bbox diagonal (+25%
+            margin); grow back if the bbox outgrows it.
+        (b) Per-ray sample budget (``budget_autotune``): the dense budget
+            layout computes field evals + plane gathers for all N*B slots, so
+            slack between the configured B and the live per-ray demand is
+            pure gather/FLOP waste (measured 2.5 samples/ray vs B=20 at bench
+            config). Track the p99 of pre-compaction demand and re-jit with
+            B ~= 1.3 * p99 (multiple of 4, never above the configured B,
+            which stays the quality ceiling); grow back toward it if >2% of
+            rays overflow.
+
+        Each lever recompiles at most 4 times per run; both wait for the
+        occupancy to stabilize (iter_density >= 6)."""
         cfg = self.render_cfg
         if (cfg.march != "hierarchical" or self.cfg.renderer != "occgrid"
-                or self._march_retunes >= 4 or int(state.occ.iter_density) < 6):
+                or int(state.occ.iter_density) < 6):
             return
         import math as _m
 
-        bbox = np.asarray(state.occ.bbox)
-        diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
-        seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
-        worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
-        target = int(_m.ceil(diag * 1.1 / seg)) + 2
-        target = min(worst, max(8, (target + 7) // 8 * 8))
-        cur = cfg.num_coarse_override or worst
-        if target < int(cur * 0.75) or target > cur:
-            self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
-            self.eval_render_cfg = self.render_cfg.for_eval()
-            self._march_retunes += 1
-            self._build_jits()
+        if self._march_retunes < 4:
+            bbox = np.asarray(state.occ.bbox)
+            diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
+            seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
+            worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+            target = int(_m.ceil(diag * 1.1 / seg)) + 2
+            target = min(worst, max(8, (target + 7) // 8 * 8))
+            cur = cfg.num_coarse_override or worst
+            if target < int(cur * 0.75) or target > cur:
+                self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
+                # eval derives from the CONFIGURED cfg (tuned span, original
+                # budget) so a tuned train budget never shallows test renders
+                self.eval_render_cfg = dataclasses.replace(
+                    self._base_render_cfg, num_coarse_override=target).for_eval()
+                self._march_retunes += 1
+                self._build_jits()
+
+        if (self.cfg.budget_autotune and aux is not None
+                and self._budget_retunes < 4 and "samples_p99" in aux):
+            p99 = float(aux["samples_p99"])
+            over = float(aux["overflow_frac"])
+            e = self._budget_p99_ema
+            self._budget_p99_ema = p99 if e is None else 0.5 * e + 0.5 * p99
+            cfg = self.render_cfg
+            cur = cfg.samples_per_ray_budget
+            if over > 0.02:
+                target = min(self._budget_max, cur * 2)
+            else:
+                target = int(_m.ceil(self._budget_p99_ema * 1.3 / 4) * 4)
+                target = min(self._budget_max, max(8, target))
+            if target > cur or target < int(cur * 0.75):
+                self.render_cfg = dataclasses.replace(
+                    cfg, samples_per_ray_budget=target)
+                # eval keeps its own (deep) budget: for_eval derives from the
+                # CONFIGURED train budget, not the tuned one
+                self._budget_retunes += 1
+                self._build_jits()
 
     # ------------------------------------------------------------------ init
 
@@ -406,6 +448,9 @@ class Trainer:
             loss = loss + cfg.z_variance_reg * out["z_variance"].mean()
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
+        for k in ("samples_p99", "overflow_frac"):
+            if k in out:
+                aux[k] = out[k]
         if err_info is not None:
             # EMA update of the coarse error map (reference utils.py:615-637)
             img_idx, cell_idx = err_info
@@ -567,6 +612,7 @@ class Trainer:
             )
         total = self.cfg.iters + max(self.cfg.warmup_steps, 0)
         t0 = time.time()
+        last_aux = None
         for it in range(total):
             if (
                 self.cfg.renderer == "occgrid"
@@ -575,7 +621,7 @@ class Trainer:
                 state = self._update_grid(
                     state, full=int(state.occ.iter_density) < 16
                 )
-                self._maybe_retune_march(state)
+                self._maybe_retune_march(state, last_aux)
             if self.clip_loss is not None and (
                 self.rand_pose_interval == 0
                 or (self.rand_pose_interval > 0
@@ -589,6 +635,7 @@ class Trainer:
                 if self.rand_pose_interval == 0:
                     continue
             state, aux = self._train_step(state, data)
+            last_aux = aux
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
                 dt = time.time() - t0
