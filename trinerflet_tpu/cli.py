@@ -97,6 +97,16 @@ def get_params(argv=None):
     parser.add_argument("--clip_ckpt", type=str, default="",
                         help="dir with a transformers CLIPModel checkpoint "
                              "(config.json + model.safetensors + vocab/merges)")
+    # GUI (reference gui.py dearpygui viewer; here an HTTP orbit viewer)
+    parser.add_argument("--gui", action="store_true",
+                        help="serve an interactive orbit viewer over HTTP "
+                             "while training (or viewing, with --test)")
+    parser.add_argument("--gui_port", type=int, default=7860)
+    parser.add_argument("--W", type=int, default=400, help="GUI render width")
+    parser.add_argument("--H", type=int, default=400, help="GUI render height")
+    parser.add_argument("--radius", type=float, default=2.0,
+                        help="GUI orbit camera radius")
+    parser.add_argument("--fovy", type=float, default=60.0)
     parser.add_argument("--error_map", action="store_true",
                         help="error-guided ray sampling")
     parser.add_argument("--triplane_channels", type=int, default=16)
@@ -492,6 +502,43 @@ def run_stage(opt, stage_idx, prev_cfgs):
     return (nerf_cfg, render_cfg, train_cfg), trainer, state
 
 
+def run_gui(opt):
+    """Interactive mode (reference main_nerf.py --gui branch): train mode
+    interleaves step bursts with the HTTP viewer; with --test, serve frames
+    from the latest checkpoint."""
+    import jax
+
+    from .render.renderer import mark_untrained_grid
+    from .train.trainer import Trainer
+    from .utils.gui import NeRFGUI
+
+    nerf_cfg, render_cfg, train_cfg = build_configs(opt)
+    trainer = Trainer(nerf_cfg, render_cfg, train_cfg, workspace=opt.workspace)
+    ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
+    if opt.test:
+        state = trainer.load_checkpoint(ckpt_path)
+        gui = NeRFGUI(trainer, state, W=opt.W, H=opt.H, radius=opt.radius,
+                      fovy=opt.fovy, port=opt.gui_port)
+        print(f"[gui] viewing on http://127.0.0.1:{gui.port}/ (GET /stop to quit)",
+              flush=True)
+        gui.test_loop()
+        return
+    scene = load_scene(opt, "train")
+    rng = jax.random.PRNGKey(opt.seed)
+    if getattr(scene, "poses", None) is not None:
+        grid = mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
+        state = trainer.init_state(rng, density_grid=grid)
+    else:
+        state = trainer.init_state(rng)
+    gui = NeRFGUI(trainer, state, W=opt.W, H=opt.H, radius=opt.radius,
+                  fovy=opt.fovy, port=opt.gui_port)
+    print(f"[gui] training on http://127.0.0.1:{gui.port}/ (GET /stop to quit)",
+          flush=True)
+    state = gui.train_loop(scene)
+    trainer.save_checkpoint(state, ckpt_path)
+    gui.close()
+
+
 def run_test(opt):
     import jax
 
@@ -556,6 +603,13 @@ def run(opt):
     length = max(len(opt_vars[k]) for k in STAGE_KEYS)
     for k in STAGE_KEYS:
         assert len(opt_vars[k]) in (1, length), (k, opt_vars[k])
+
+    if opt.gui:
+        o = copy.deepcopy(opt)
+        for k in STAGE_KEYS:
+            vars(o)[k] = opt_vars[k][-1] if opt.test else opt_vars[k][0]
+        run_gui(o)
+        return
 
     if opt.test:
         o = copy.deepcopy(opt)
