@@ -45,7 +45,7 @@ __all__ = [
     "init_unet_params", "unet_apply",
     "init_vae_params", "vae_encode", "vae_decode",
     "load_safetensors_params", "unet_config_from_json", "vae_config_from_json",
-    "make_unet_denoiser",
+    "make_unet_denoiser", "make_text2img_denoiser", "SD2_TEXT2IMG_UNET",
 ]
 
 
@@ -629,5 +629,49 @@ def make_unet_denoiser(
     def denoiser(latents_cat, t, noise_level, text_cond: bool):
         return _run(latents_cat, t, noise_level,
                     text_embeds if text_cond else uncond_embeds)
+
+    return denoiser
+
+
+# SD2.x text-to-image UNet structure (diffusers stable-diffusion-2 unet
+# config: 4-channel latents, no class embedding, linear transformer proj) —
+# the prior the reference's generation system plugs in via threestudio
+# (trinerflet_text_to_3d.py guidance_type), as opposed to the x4 upscaler.
+SD2_TEXT2IMG_UNET = UNetConfig(
+    in_channels=4, out_channels=4,
+    block_out_channels=(320, 640, 1280, 1280),
+    down_block_types=(
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    ),
+    layers_per_block=2, cross_attention_dim=1024,
+    attention_head_dim=(5, 10, 20, 20), use_linear_projection=True,
+    class_embed_type=None,
+)
+
+
+def make_text2img_denoiser(
+    unet_params: Dict,
+    unet_cfg: UNetConfig,
+    text_embeds: jnp.ndarray,
+    uncond_embeds: jnp.ndarray,
+    dtype=jnp.float32,
+):
+    """Adapt a text-to-image UNet (no image concat, no noise-level class
+    embedding) to the Text2ImgGuidance protocol: (latents, t, noise_level
+    [ignored], text_cond) -> eps."""
+
+    @jax.jit
+    def _run(latents, t, embeds):
+        B = latents.shape[0]
+        ctx = jnp.broadcast_to(embeds, (B,) + embeds.shape[1:]).astype(dtype)
+        return unet_apply(unet_params, unet_cfg, latents.astype(dtype), t, ctx)
+
+    def denoiser(latents, t, noise_level, text_cond: bool):
+        return _run(latents, t, text_embeds if text_cond else uncond_embeds)
 
     return denoiser

@@ -39,6 +39,7 @@ __all__ = [
     "DiffusionSchedule",
     "GuidanceConfig",
     "UpscalerGuidance",
+    "Text2ImgGuidance",
     "OracleDenoiser",
     "make_oracle_guidance",
     "make_resize_guidance",
@@ -240,6 +241,82 @@ class UpscalerGuidance:
         eps_pred = jax.lax.stop_gradient(
             self.denoiser(jnp.concatenate([latents_noisy, image], axis=-1), tt, noise_level, True)
         )
+        w = 1.0 - sch.alphas_cumprod[tt]
+        grad = w * (eps_pred - noise)
+        target = jax.lax.stop_gradient(latents - grad)
+        return 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
+
+
+class Text2ImgGuidance(UpscalerGuidance):
+    """Text-to-image prior: img2img SDEdit + SDS with text CFG only.
+
+    The reference *generation* system drives refinement with a text-to-image
+    diffusion model (DeepFloyd/SD via threestudio guidance,
+    trinerflet_text_to_3d.py:42-140) — NOT the x4 upscaler. This class keeps
+    the UpscalerGuidance interface (so :class:`TextTo3DSystem` can take
+    either) but its denoiser sees only ``(latents, t, text_cond)``: the
+    ``lr_image`` argument is ignored, and refinement is pure img2img of the
+    NeRF's own render under the text prompt.
+
+    Plug in an SD2-style txt2img UNet via
+    :func:`trinerflet_tpu.sr.diffusion.make_text2img_denoiser`.
+    """
+
+    def generate_sr(self, rng, lr_image, hr_render, step: int = 0,
+                    ignore_t: Optional[int] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        sch = self.schedule
+        k_t, k_init, k_loop = jax.random.split(rng, 3)
+        if ignore_t is None:
+            mn, mx = self.step_bounds(step)
+            ignore_t = int(jax.random.randint(k_t, (), mn, mx + 1))
+
+        latents = self.encode(hr_render)
+        x = jax.random.normal(k_init, latents.shape)
+        use_cfg = cfg.guidance_scale > 1.0
+
+        timesteps = [int(v) for v in sch.ddim_timesteps(cfg.num_inference_steps)]
+        keys = jax.random.split(k_loop, len(timesteps))
+        nl = jnp.asarray(cfg.noise_level, jnp.int32)  # unused by t2i denoisers
+        for i, t in enumerate(timesteps):
+            if t > ignore_t:
+                t_next = timesteps[i + 1] if i + 1 < len(timesteps) else 0
+                noise = jax.random.normal(keys[i], latents.shape)
+                x = sch.add_noise(latents, noise, jnp.asarray(t_next, jnp.int32))
+                continue
+            tt = jnp.asarray(t, jnp.int32)
+            eps_c = self.denoiser(x, tt, nl, True)
+            if use_cfg:
+                eps_u = self.denoiser(x, tt, nl, False)
+                eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
+            t_prev = timesteps[i + 1] if i + 1 < len(timesteps) else -1
+            x, _ = sch.ddim_step(eps, t, t_prev, x)
+        return jnp.clip(self.decode(x), 0.0, 1.0)
+
+    def sds_loss(self, rng, lr_image, hr_render, step: int = 0,
+                 t_bounds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        sch = self.schedule
+        k_t, k_n = jax.random.split(rng)
+        if t_bounds is not None:
+            t = jax.random.randint(k_t, (), t_bounds[0], t_bounds[1] + 1)
+        else:
+            mn, mx = self.step_bounds(step)
+            t = int(jax.random.randint(k_t, (), mn, mx + 1))
+        latents = self.encode(hr_render)
+        noise = jax.random.normal(k_n, latents.shape)
+        tt = jnp.asarray(t, jnp.int32)
+        latents_noisy = sch.add_noise(latents, noise, tt)
+        nl = jnp.asarray(cfg.noise_level, jnp.int32)
+        eps_c = self.denoiser(latents_noisy, tt, nl, True)
+        if cfg.guidance_scale > 1.0:
+            eps_u = self.denoiser(latents_noisy, tt, nl, False)
+            eps_pred = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+        else:
+            eps_pred = eps_c
+        eps_pred = jax.lax.stop_gradient(eps_pred)
         w = 1.0 - sch.alphas_cumprod[tt]
         grad = w * (eps_pred - noise)
         target = jax.lax.stop_gradient(latents - grad)

@@ -29,8 +29,13 @@ def build(cfg_dict, workspace):
     from .guidance import GuidanceConfig, make_oracle_guidance, make_resize_guidance
     from .system import SRConfig, SRSystem
 
+    sys_dict = dict(cfg_dict.get("system", {}))
+    sys_kind = sys_dict.pop("kind", "sr")
+
     data_cfg = cfg_dict.get("data", {})
-    if data_cfg.get("synthetic", False):
+    if sys_kind == "generation" and not data_cfg:
+        scene = None  # generation is data-free (random orbit cameras)
+    elif data_cfg.get("synthetic", False):
         scene = make_synthetic_sr_scene(
             num_views=data_cfg.get("num_views", 8),
             lr_size=data_cfg.get("lr_size", 32),
@@ -82,20 +87,32 @@ def build(cfg_dict, workspace):
         max_steps=rnd.get("max_steps", 512),
         samples_per_ray_budget=rnd.get("samples_per_ray_budget", 24),
     )
-    sys_cfg = parse_structured(SRConfig, cfg_dict.get("system", {}))
-
     g_dict = cfg_dict.get("guidance", {})
     g_kind = g_dict.pop("kind", "resize")
     weights = g_dict.pop("weights", {})  # checkpoint paths for 'diffusion'
     gcfg = parse_structured(GuidanceConfig, g_dict)
     if g_kind == "oracle":
+        assert scene is not None, "oracle guidance needs a data section"
         guidance = make_oracle_guidance(gcfg, jnp.asarray(scene.hr.images[..., :3]).mean(0, keepdims=True))
     elif g_kind == "resize":
+        assert scene is not None, "resize guidance needs a data section"
         guidance = make_resize_guidance(gcfg, scale=scene.scale)
-    elif g_kind == "diffusion":
-        guidance = build_diffusion_guidance(gcfg, weights, workspace)
+    elif g_kind in ("diffusion", "text2img"):
+        guidance = build_diffusion_guidance(gcfg, weights, workspace, kind=g_kind)
     else:
         raise ValueError(f"unknown guidance kind {g_kind!r}")
+
+    if sys_kind == "generation":
+        # text/guidance-driven 3D generation (reference trinerflet-generation
+        # system, trinerflet_text_to_3d.py:42-140)
+        from .text_to_3d import TextTo3DConfig, TextTo3DSystem
+
+        gen_cfg = parse_structured(TextTo3DConfig, sys_dict)
+        system = TextTo3DSystem(nerf_cfg, render_cfg, gen_cfg, guidance,
+                                workspace=workspace)
+        return system, scene
+
+    sys_cfg = parse_structured(SRConfig, sys_dict)
 
     lpips_params = None
     lp = cfg_dict.get("lpips", {})
@@ -111,19 +128,24 @@ def build(cfg_dict, workspace):
     return system, scene
 
 
-def build_diffusion_guidance(gcfg, weights: dict, workspace: str):
-    """Real SD x4-upscaler guidance from a diffusers checkpoint directory
-    layout: unet/{config.json,*.safetensors}, vae/{...},
+def build_diffusion_guidance(gcfg, weights: dict, workspace: str,
+                             kind: str = "diffusion"):
+    """Real diffusion guidance from a diffusers checkpoint directory layout:
+    unet/{config.json,*.safetensors}, vae/{...},
     text_encoder/{config.json,*.safetensors}, tokenizer/{vocab.json,merges.txt}.
-    (Reference: StableDiffusionUpscalePipeline load,
-    stable_diffusion_guidance_sr.py:94-97.)"""
+
+    ``kind="diffusion"``: the SD x4-upscaler (LR-conditioned, noise-level
+    class embedding) — reference StableDiffusionUpscalePipeline load,
+    stable_diffusion_guidance_sr.py:94-97. ``kind="text2img"``: an SD2-style
+    text-to-image prior (img2img SDEdit/SDS, no image conditioning) — the
+    reference *generation* system's prior (trinerflet_text_to_3d.py)."""
     import jax.numpy as jnp
 
     from .diffusion import (
-        load_safetensors_params, make_unet_denoiser,
+        load_safetensors_params, make_text2img_denoiser, make_unet_denoiser,
         unet_config_from_json, vae_config_from_json, vae_decode, vae_encode,
     )
-    from .guidance import UpscalerGuidance
+    from .guidance import Text2ImgGuidance, UpscalerGuidance
     from .text import CLIPTokenizer, PromptProcessor, TextConfig, text_encode
 
     unet_cfg = unet_config_from_json(weights["unet_config"])
@@ -144,12 +166,13 @@ def build_diffusion_guidance(gcfg, weights: dict, workspace: str):
         z = np.load(weights["prompt_embeds"])
         cond, uncond = jnp.asarray(z["cond"]), jnp.asarray(z["uncond"])
 
+    encode = lambda x: vae_encode(vae_params, vae_cfg, 2.0 * x - 1.0)
+    decode = lambda z: 0.5 * (vae_decode(vae_params, vae_cfg, z) + 1.0)
+    if kind == "text2img":
+        denoiser = make_text2img_denoiser(unet_params, unet_cfg, cond, uncond)
+        return Text2ImgGuidance(gcfg, denoiser, encode=encode, decode=decode)
     denoiser = make_unet_denoiser(unet_params, unet_cfg, cond, uncond)
-    return UpscalerGuidance(
-        gcfg, denoiser,
-        encode=lambda x: vae_encode(vae_params, vae_cfg, 2.0 * x - 1.0),
-        decode=lambda z: 0.5 * (vae_decode(vae_params, vae_cfg, z) + 1.0),
-    )
+    return UpscalerGuidance(gcfg, denoiser, encode=encode, decode=decode)
 
 
 def main(argv=None):
@@ -163,12 +186,35 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # short-circuit the remote-TPU tunnel handshake (see CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     cfg = apply_overrides(load_yaml_config(args.config), args.overrides)
     workspace = args.workspace or cfg.get("workspace", "sr_workspace")
     os.makedirs(workspace, exist_ok=True)
     system, scene = build(cfg, workspace)
 
     ckpt = os.path.join(workspace, "sr_state.pkl")
+    from .text_to_3d import TextTo3DSystem
+
+    if isinstance(system, TextTo3DSystem):
+        state = system.init_state()
+        if args.train:
+            state = system.fit(state)
+            import jax
+
+            with open(ckpt, "wb") as f:
+                pickle.dump({"params": jax.tree.map(np.asarray, state.params),
+                             "step": int(state.step)}, f)
+        if args.test or args.train:
+            out = system.render_turntable(
+                state, os.path.join(workspace, "turntable.mp4"))
+            print(f"turntable -> {out}")
+        return
+
     grid = None
     if getattr(scene.lr, "poses", None) is not None:
         # frustum-cull the occupancy grid from the LR cameras (reference
