@@ -96,3 +96,55 @@ class TestHashgridField:
         g = jax.grad(loss)(params)
         assert float(jnp.abs(g["encoder"]["level_0"]).sum()) > 0
         assert float(jnp.abs(g["sigma_net"]["w0"]).sum()) > 0
+
+
+class TestGridEncoderBackward:
+    def test_blocked_backward_matches_xla_scatter(self):
+        """The custom_vjp (batched-corner gather + blocked scatter-add) must
+        reproduce plain jnp.take autodiff gradients exactly in fp32."""
+        from trinerflet_tpu.models.gridencoder import (
+            GridEncoderConfig, _index, grid_encode, init_grid_params,
+        )
+
+        cfg = GridEncoderConfig(num_levels=4, level_dim=2, base_resolution=4,
+                                desired_resolution=32, log2_hashmap_size=10)
+        params = init_grid_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-1, maxval=1)
+
+        def loss(p):
+            return jnp.sum(jnp.sin(3.0 * grid_encode(p, x, cfg)))
+
+        g = jax.grad(loss)(params)
+
+        # reference: identical math with plain autodiff gathers
+        import numpy as _np
+
+        def ref_encode(p):
+            N, D = x.shape
+            u = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+            corners = _np.stack(_np.meshgrid(*([_np.array([0, 1])] * D),
+                                             indexing="ij"), -1).reshape(-1, D)
+            outs = []
+            for l in range(cfg.num_levels):
+                res = cfg.level_resolution(l)
+                size = cfg.level_size(l)
+                pos = u * res
+                p0 = jnp.floor(pos).astype(jnp.int32)
+                frac = pos - p0
+                acc = 0.0
+                for c in corners:
+                    ci = jnp.asarray(c, jnp.int32)
+                    w = jnp.prod(jnp.where(ci > 0, frac, 1.0 - frac), -1)
+                    idx = _index(jnp.clip(p0 + ci, 0, res), res, size, cfg)
+                    acc = acc + w[:, None] * jnp.take(p[f"level_{l}"], idx, axis=0)
+                outs.append(acc)
+            return jnp.concatenate(outs, -1)
+
+        out_new = grid_encode(params, x, cfg)
+        out_ref = ref_encode(params)
+        np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
+                                   atol=1e-6)
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(3.0 * ref_encode(p))))(params)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g_ref[k]),
+                                       atol=1e-5, err_msg=k)
