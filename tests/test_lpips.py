@@ -120,7 +120,9 @@ def test_sr_perceptual_consistency_loss_runs():
     rd = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
     pgt = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
     lgt = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)), jnp.float32)
-    w = jnp.asarray([1.0, 0.0, 1.0, 0.0, 0.1], jnp.float32)
+    w = {k: jnp.float32(v) for k, v in
+         [("l2_hr", 1.0), ("l1_hr", 0.0), ("consistency", 1.0),
+          ("reg", 0.0), ("percep", 0.1), ("sds", 0.0)]}
     state2, aux = sys_._hr_step(state, ro, rd, pgt, lgt, w)
     assert np.isfinite(float(aux["loss"]))
     assert float(aux["consistency_perceptual"]) > 0
