@@ -272,3 +272,56 @@ class TestSDSWiring:
             0.0,
         )
         assert d > 0.0  # the SDS term moved the encoder update
+
+
+class TestSRMarchRetune:
+    """Round-3: SRSystem shrinks the static coarse-segment span to the live
+    occupied bbox (the wall-time lever for chunked HR full-frame renders,
+    reference render_high_res triplane_wavelet_sr.py:797-829)."""
+
+    def _system(self):
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=8, resolution=128, wavelet_scale=4,
+                                    low_res_scale=4),
+            bound=1.0, hidden_dim=32, hidden_dim_color=32,
+        )
+        render_cfg = RenderConfig(bound=1.0, grid_size=32, density_thresh=1.0,
+                                  max_steps=256, samples_per_ray_budget=16)
+        cfg = SRConfig(total_steps=40, sr_start_step=10**9, num_rays_lr=256,
+                       eval_chunk=4096)
+        return SRSystem(nerf_cfg, render_cfg, cfg,
+                        make_resize_guidance(GuidanceConfig(), scale=4))
+
+    def test_span_shrinks_and_render_unchanged(self):
+        from trinerflet_tpu.render import renderer as R
+
+        sys_ = self._system()
+        state = sys_.init_state(jax.random.PRNGKey(0))
+        worst = sys_.render_cfg.num_candidates // sys_.render_cfg.fine_per_coarse
+
+        # craft a concentrated occupancy: a small blob near the origin
+        H = sys_.render_cfg.grid_size
+        occ = np.zeros((1, H, H, H), bool)
+        occ[0, H // 2 - 3 : H // 2 + 3, H // 2 - 3 : H // 2 + 3,
+            H // 2 - 3 : H // 2 + 3] = True
+        occb = jnp.asarray(occ)
+        new_occ = state.occ._replace(
+            occ=occb, occ_coarse=R._dilate3(occb),
+            bbox=R._occupied_bbox(occb, sys_.render_cfg),
+            iter_density=jnp.asarray(10, jnp.int32),
+        )
+        state = state._replace(occ=new_occ)
+
+        ro = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (64, 1))
+        th = jnp.linspace(-0.15, 0.15, 64)
+        rd = jnp.stack([jnp.sin(th), jnp.zeros_like(th), jnp.cos(th)], axis=-1)
+        before = sys_._render_chunk(state.params, state.occ, ro, rd,
+                                    mode="full")["image"]
+
+        sys_._maybe_retune_march(state)
+        tuned = sys_.render_cfg.num_coarse_override
+        after = sys_._render_chunk(state.params, state.occ, ro, rd,
+                                   mode="full")["image"]
+        assert tuned > 0 and tuned < worst
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                                   atol=2e-3)

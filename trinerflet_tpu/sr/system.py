@@ -124,11 +124,42 @@ class SRSystem:
         self._use_sds = not (
             isinstance(cfg.lambda_sds, (int, float)) and cfg.lambda_sds == 0
         )
+        self._base_render_cfg = render_cfg
+        self._march_retunes = 0
+        self._build_jits()
+
+    def _build_jits(self):
         self._lr_step = jax.jit(self._lr_step_impl, donate_argnums=(0,))
         self._lr_stream_step = jax.jit(self._lr_stream_step_impl, donate_argnums=(0,))
         self._hr_step = jax.jit(self._hr_step_impl, donate_argnums=(0,))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("mode",))
+
+    def _maybe_retune_march(self, state: "SRState"):
+        """Shrink the static coarse-segment span to the live occupied-bbox
+        diagonal (same lever as Trainer._maybe_retune_march): empty leading/
+        trailing scene margin otherwise costs march candidates AND caps how
+        deep the fixed span reaches — the wall-time lever for the chunked
+        ``render_high_res`` counterpart (triplane_wavelet_sr.py:797-829)."""
+        cfg = self.render_cfg
+        if (cfg.march != "hierarchical" or self._march_retunes >= 2
+                or int(state.occ.iter_density) < 6):
+            return
+        import math as _m
+
+        bbox = np.asarray(state.occ.bbox)
+        diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
+        seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
+        worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+        target = int(_m.ceil(diag * 1.1 / seg)) + 2
+        target = min(worst, max(8, (target + 7) // 8 * 8))
+        cur = cfg.num_coarse_override or worst
+        if target < int(cur * 0.75) or target > cur:
+            self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
+            self.eval_render_cfg = dataclasses.replace(
+                self._base_render_cfg, num_coarse_override=target).for_eval()
+            self._march_retunes += 1
+            self._build_jits()
 
     # ------------------------------------------------------------------ init
 
@@ -363,6 +394,7 @@ class SRSystem:
             step = base_step + it
             if step % cfg.update_extra_interval == 0:
                 state = self._update_grid(state)
+                self._maybe_retune_march(state)
 
             if step < cfg.sr_start_step:
                 weights = {
