@@ -94,3 +94,37 @@ def loss(p, ro, rd):
 
 gl = jax.jit(jax.grad(loss))
 print(f"render fwd+bwd      : {timeit(gl, params, rays_o, rays_d):8.1f} ms", flush=True)
+
+# 5. (round 3) the rest of the step: trainer probes at the bench config
+from trinerflet_tpu.data.synthetic import make_synthetic_scene
+from trinerflet_tpu.train.trainer import Trainer, TrainConfig
+
+train_cfg = TrainConfig(lr=1e-2, iters=10000, num_rays=N_RAYS,
+                        wavelet_regularization=0.4, renderer="occgrid",
+                        update_extra_interval=16)
+trainer = Trainer(nerf_cfg, render_cfg, train_cfg)
+scene = make_synthetic_scene(num_views=8, H=256, W=256, num_steps=128)
+grid = R.mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
+state = trainer.init_state(density_grid=grid)
+data = trainer.scene_to_device(scene)
+aux = None
+for i in range(48):  # warm + let the grid/auto-tune settle like bench.py
+    if i % 16 == 0:
+        state = trainer._update_grid(state, full=int(state.occ.iter_density) < 16)
+        trainer._maybe_retune_march(state, aux)
+    state, aux = trainer._train_step(state, data)
+force(aux["loss"])
+print(f"budget after autotune: {trainer.render_cfg.samples_per_ray_budget}; "
+      f"num_coarse: {trainer.render_cfg.num_coarse_override}", flush=True)
+
+t0 = time.perf_counter()
+for _ in range(10):
+    state, aux = trainer._train_step(state, data)
+force(aux["loss"])
+print(f"train step alone    : {(time.perf_counter()-t0)/10*1e3:8.1f} ms", flush=True)
+
+t0 = time.perf_counter()
+for _ in range(4):
+    state = trainer._update_grid(state, full=False)
+force(state.occ.mean_density)
+print(f"grid update (partial): {(time.perf_counter()-t0)/4*1e3:8.1f} ms", flush=True)
