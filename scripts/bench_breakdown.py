@@ -108,7 +108,10 @@ grid = R.mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
 state = trainer.init_state(density_grid=grid)
 data = trainer.scene_to_device(scene)
 aux = None
-for i in range(48):  # warm + let the grid/auto-tune settle like bench.py
+# warm enough for iter_density >= 16 (autotune needs >= 6; partial grid
+# refreshes start at 16, so the timed update below is the compiled steady
+# state, not a fresh full=False compile)
+for i in range(290):
     if i % 16 == 0:
         state = trainer._update_grid(state, full=int(state.occ.iter_density) < 16)
         trainer._maybe_retune_march(state, aux)

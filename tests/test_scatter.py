@@ -80,3 +80,22 @@ def test_grad_flows_through_payload():
 
     g = jax.grad(f)(pay)
     np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_default_precision_within_bf16_term_rounding():
+    """precision='default' may round each payload term to bf16 before the
+    exact-f32 accumulation (1-pass MXU semantics on TPU; full f32 on CPU).
+    Either way the result must sit within per-term bf16 rounding of the
+    exact sum."""
+    rng = np.random.default_rng(6)
+    n, rows = 4096, 1024
+    idx = rng.integers(0, rows, n).astype(np.int32)
+    pay = rng.standard_normal((n, 8)).astype(np.float32)
+    got = np.asarray(blocked_scatter_add(jnp.asarray(idx), jnp.asarray(pay),
+                                         rows, tile=256, block=128,
+                                         precision="default"))
+    ref = np.zeros((rows, 8), np.float64)
+    np.add.at(ref, idx, pay.astype(np.float64))
+    # bf16 keeps 8 mantissa bits: per-term relative error <= 2^-9; terms per
+    # row here are ~4, |term| <= ~4 -> absolute slack ~ count * 4 * 2^-9
+    np.testing.assert_allclose(got, ref, rtol=0, atol=(n / rows) * 4 * 2 ** -9 * 4)

@@ -104,7 +104,9 @@ def _gather_rows_bwd(res, g):
     idx, n = res
     from ..ops.scatter import scatter_add_rows
 
-    return scatter_add_rows(idx, g.astype(jnp.float32), n), None
+    # bf16 cotangents: a 1-pass matmul (terms rounded to bf16) loses nothing
+    prec = "default" if g.dtype == jnp.bfloat16 else "highest"
+    return scatter_add_rows(idx, g.astype(jnp.float32), n, precision=prec), None
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

@@ -157,7 +157,11 @@ def _quad_bwd(res, g):
     # plane-gradient accumulation WITHOUT an XLA scatter: sort + blocked
     # one-hot matmuls (ops/scatter.py; ~1.8x the serialized scatter on TPU
     # at bench scale, exact in fp32). Small problems fall back to .at[].add.
-    gq = scatter_add_rows(idx, gq_rows.astype(jnp.float32), H * W)
+    # bf16 planes: grad terms may round to bf16 in a 1-pass matmul (the
+    # result is cast to bf16 below anyway); f32 planes keep exact 6-pass.
+    prec = "default" if marker.dtype == jnp.bfloat16 else "highest"
+    gq = scatter_add_rows(idx, gq_rows.astype(jnp.float32), H * W,
+                          precision=prec)
     g_plane = _quad_unpack_grad(gq.reshape(H, W, 4 * C)).astype(marker.dtype)
     return g_plane, jnp.zeros((g.shape[0], 2), cmarker.dtype)
 
@@ -208,7 +212,8 @@ def _corner_bwd(res, g):
     idx, w, marker, cmarker = res
     H, W, C = marker.shape[1:]
     rows = (w[..., None] * g[:, None, :]).reshape(-1, C).astype(jnp.float32)
-    gq = scatter_add_rows(idx.reshape(-1), rows, H * W)
+    prec = "default" if marker.dtype == jnp.bfloat16 else "highest"
+    gq = scatter_add_rows(idx.reshape(-1), rows, H * W, precision=prec)
     return gq.reshape(H, W, C).astype(marker.dtype), jnp.zeros(
         (g.shape[0], 2), cmarker.dtype
     )

@@ -38,18 +38,25 @@ def xla_scatter_add(idx: jnp.ndarray, payload: jnp.ndarray, num_rows: int) -> jn
     return out.at[idx].add(payload.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_rows", "tile", "block"))
+@partial(jax.jit, static_argnames=("num_rows", "tile", "block", "precision"))
 def blocked_scatter_add(
     idx: jnp.ndarray,        # (N,) int32 row indices in [0, num_rows)
     payload: jnp.ndarray,    # (N, D)
     num_rows: int,
     tile: int = 2048,
     block: int = 1024,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """out[i] = sum of payload rows with idx == i, as sort + one-hot matmuls.
 
     Exact in fp32 (one-hot products are exact; only the add order differs from
     the scatter path). Returns (num_rows, D) float32.
+
+    ``precision`` sets the one-hot matmul pass count: ``"highest"`` (6-pass,
+    exact f32 terms) or ``"default"`` (1-pass: each payload term is rounded to
+    bf16 before the exact-f32 accumulation — the right trade when the gradient
+    target is itself bf16, e.g. bf16 triplanes; the matmul passes are the bulk
+    of the scan stage, so this is ~6x less MXU work).
 
     Data movement is ONE payload row-gather (into sorted order, with the index
     carried as an extra fp32 column) — block extraction inside the scan is a
@@ -96,6 +103,8 @@ def blocked_scatter_add(
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
     iota_b = jnp.arange(block, dtype=jnp.int32)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
 
     def body(out, xs):
         t, start, end = xs
@@ -103,12 +112,12 @@ def blocked_scatter_add(
         lidx = blk[:, 0].astype(jnp.int32) - t * tile
         lidx = jnp.where(start + iota_b < end, lidx, -1)  # -1 -> zero one-hot
         onehot = (lidx[:, None] == lanes).astype(jnp.float32)  # (block, tile)
-        # HIGHEST precision: TPU fp32 matmuls default to one-pass bf16
-        # multiplies, which would round every payload term to 8 mantissa bits
+        # "highest": exact f32 terms (6-pass). "default": one bf16 pass — the
+        # one-hot factor is exact in bf16 (0/1), so only payload terms round.
         contrib = jax.lax.dot_general(
             onehot, blk[:, 1:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (tile, D)
         base = t * tile
         cur = jax.lax.dynamic_slice(out, (base, 0), (tile, D))
@@ -125,15 +134,17 @@ def scatter_add_rows(
     payload: jnp.ndarray,
     num_rows: int,
     strategy: str = "auto",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Dispatch: 'xla' | 'blocked' | 'auto' (blocked on TPU-sized problems,
     plain scatter for small ones where sort overhead dominates)."""
     if strategy == "xla":
         return xla_scatter_add(idx, payload, num_rows)
     if strategy == "blocked":
-        return blocked_scatter_add(idx, payload, num_rows)
+        return blocked_scatter_add(idx, payload, num_rows, precision=precision)
     N = idx.shape[0]
     if N >= 65536 and num_rows >= 16384:
         tile = min(2048, 1 << max(8, (num_rows - 1).bit_length() - 7))
-        return blocked_scatter_add(idx, payload, num_rows, tile=tile)
+        return blocked_scatter_add(idx, payload, num_rows, tile=tile,
+                                   precision=precision)
     return xla_scatter_add(idx, payload, num_rows)
