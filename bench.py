@@ -118,6 +118,9 @@ def main():
           f"(windows: {[round(w, 1) for w in window_ms]}); "
           f"budget {trainer.render_cfg.samples_per_ray_budget}"
           f"/{trainer._budget_max}; "
+          f"layout {trainer.render_cfg.compaction}"
+          f"(x{trainer.render_cfg.global_slots_per_ray}); "
+          f"num_coarse {trainer.render_cfg.num_coarse_override}; "
           f"samples/step {mean_samples:,.0f} "
           f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)

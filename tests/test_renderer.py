@@ -401,3 +401,73 @@ class TestOccBBox:
         assert tr.render_cfg.num_coarse_override == worst or (
             tr.render_cfg.num_coarse_override + 7
         ) // 8 * 8 >= worst
+
+
+class TestGlobalCompaction:
+    """Second-stage global compaction of the hierarchical march: the shared-
+    buffer layout must reproduce the dense per-ray-budget render exactly
+    (same march, same samples — only the field-eval layout changes)."""
+
+    def _occ_from_field(self, cfg):
+        state = R.init_occupancy(cfg)
+        return R.update_density_grid(
+            state, lambda p: analytic_density(p)[0], jax.random.PRNGKey(0), cfg
+        )
+
+    def _cfgs(self, slots):
+        base = dict(bound=1.0, grid_size=64, max_steps=512,
+                    samples_per_ray_budget=64, density_thresh=0.5,
+                    coarse_budget=48, fine_per_coarse=8, march="hierarchical")
+        return (R.RenderConfig(**base),
+                R.RenderConfig(**base, compaction="global",
+                               global_slots_per_ray=slots))
+
+    def test_matches_dense_budget_layout(self):
+        cfg_d, cfg_g = self._cfgs(slots=64)  # ample buffer: no tail dropping
+        occ = self._occ_from_field(cfg_d)
+        o, d = camera_rays(32)
+        dense = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_d,
+                                 bg_color=0.0, occ_coarse=occ.occ_coarse)
+        glob = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_g,
+                                bg_color=0.0, occ_coarse=occ.occ_coarse)
+        np.testing.assert_allclose(np.asarray(glob["image"]),
+                                   np.asarray(dense["image"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(glob["weights_sum"]),
+                                   np.asarray(dense["weights_sum"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(glob["depth"]),
+                                   np.asarray(dense["depth"]), atol=2e-3)
+        assert int(glob["num_samples"]) == int(dense["num_samples"])
+        assert 0.0 < float(glob["global_fill"]) <= 1.0
+
+    def test_gradients_match_dense_layout(self):
+        cfg_d, cfg_g = self._cfgs(slots=64)
+        occ = self._occ_from_field(cfg_d)
+        o, d = camera_rays(16)
+        scale0 = jnp.asarray(1.0)
+
+        def loss(scale, cfg):
+            def field(xyzs, dirs):
+                sigma, rgb = analytic_field(xyzs, dirs)
+                return sigma * scale, rgb
+
+            out = R.render_occgrid(field, o, d, occ.occ, cfg, bg_color=0.0,
+                                   occ_coarse=occ.occ_coarse)
+            return (out["image"] ** 2).sum()
+
+        g_d = jax.grad(loss)(scale0, cfg_d)
+        g_g = jax.grad(loss)(scale0, cfg_g)
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_d), rtol=1e-4)
+
+    def test_overflow_drops_tail_gracefully(self):
+        cfg_d, cfg_g = self._cfgs(slots=2)  # deliberately too small
+        occ = self._occ_from_field(cfg_d)
+        o, d = camera_rays(16)
+        out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_g,
+                               bg_color=0.0, occ_coarse=occ.occ_coarse)
+        assert np.isfinite(np.asarray(out["image"])).all()
+        assert float(out["global_fill"]) == 1.0  # buffer saturated -> retune
+
+    def test_for_eval_forces_dense_layout(self):
+        _, cfg_g = self._cfgs(slots=8)
+        ev = cfg_g.for_eval()
+        assert ev.compaction == "per_ray"

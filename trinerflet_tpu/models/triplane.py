@@ -268,9 +268,18 @@ _PLANE_AXES = np.array(
 def project_to_planes(coords: jnp.ndarray, lbound: float) -> jnp.ndarray:
     """(N, 3) world coords -> (3, N, 2) per-plane grid coords in [-1, 1]
     (up to border clamping done by the sampler)."""
-    axes = jnp.asarray(_PLANE_AXES, coords.dtype)
-    proj = jnp.einsum("nc,pcd->pnd", coords / lbound, axes)
-    return proj
+    # _PLANE_AXES is a 0/1 axis-selection basis, so the projection is pure
+    # coordinate slicing — keep it off the MXU (a (N,3)x(3,6) dot per field
+    # eval for no reason); slicing is exact and differentiable
+    c = coords / lbound
+    return jnp.stack(
+        [
+            jnp.stack([c[:, 0], c[:, 2]], axis=-1),  # up:    u=x, v=z
+            jnp.stack([c[:, 0], c[:, 1]], axis=-1),  # front: u=x, v=y
+            jnp.stack([c[:, 1], c[:, 2]], axis=-1),  # right: u=y, v=z
+        ],
+        axis=0,
+    )
 
 
 def sample_triplane(

@@ -256,6 +256,72 @@ def compact_samples(
     )
 
 
+def compact_global_dense(
+    rays_o: jnp.ndarray,   # (N, 3)
+    rays_d: jnp.ndarray,   # (N, 3)
+    t: jnp.ndarray,        # (N, B) absolute sample distances (0 on invalid)
+    dt: jnp.ndarray,       # (N, B) per-slot step (stride-scaled, 0 on invalid)
+    mask: jnp.ndarray,     # (N, B) bool
+    t0: jnp.ndarray,       # (N,) perturbed ray start
+    *,
+    m_budget: int,
+    bound: float,
+) -> CompactSamples:
+    """Second-stage GLOBAL compaction of the per-ray (N, B) budget layout.
+
+    The dense layout evaluates the field at every one of the N*B slots, so its
+    cost scales with the per-ray budget B (set by the p99 of demand). Mid
+    training the live mean is far below the p99 (measured 2.6 vs 20 at the
+    bench config) — compacting the valid slots into a shared ``m_budget``
+    buffer makes the field/gather/scatter volume scale with the MEAN instead.
+
+    Source selection is ONE flat sort of int32 position keys (invalid slots
+    pushed past the end), the same trick as :func:`first_k_valid` — NOT the
+    cumsum+searchsorted binary search: ~20 search iterations x m_budget
+    serialized gather rows cost more than the dense layout they were meant to
+    replace (measured: global slots=12 at 258 ms vs dense B=20 at 228 ms,
+    scripts/bench_compaction_ab.py). Overflow beyond ``m_budget`` drops the
+    tail — callers watch ``num_valid/m_budget`` and retune. Counterpart of
+    the CUDA bump-allocator compaction (raymarching.cu:405-416) for the
+    two-level march.
+    """
+    N, B = t.shape
+    valid_flat = mask.reshape(-1)
+    total = valid_flat.sum().astype(jnp.int32)
+    pos = jnp.arange(N * B, dtype=jnp.int32)
+    key = jnp.where(valid_flat, pos, pos + N * B)
+    src = jax.lax.sort(key)[:m_budget]
+    slot_valid = src < N * B
+    src = jnp.where(slot_valid, src, N * B - 1)
+
+    # ONE gather of [t | dt] pairs, one of per-ray [o | d | t0] rows
+    tdt = jnp.stack([t.reshape(-1), dt.reshape(-1)], axis=-1)
+    tdt = jnp.take(tdt, src, axis=0)
+    n = (src // B).astype(jnp.int32)
+    odt0 = jnp.concatenate([rays_o, rays_d, t0[:, None]], axis=-1)  # (N, 7)
+    odt0 = jnp.take(odt0, n, axis=0)
+    o, d, t0g = odt0[:, 0:3], odt0[:, 3:6], odt0[:, 6]
+    tg, dtg = tdt[:, 0], jnp.where(slot_valid, tdt[:, 1], 0.0)
+    pts = jnp.clip(o + d * tg[:, None], -bound, bound)
+
+    counts_full = mask.astype(jnp.int32).sum(axis=1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_full)[:-1].astype(jnp.int32)]
+    )
+    offsets = jnp.minimum(offsets, m_budget)
+    counts = jnp.minimum(counts_full, jnp.maximum(m_budget - offsets, 0))
+    return CompactSamples(
+        xyzs=jnp.where(slot_valid[:, None], pts, 0.0),
+        dirs=jnp.where(slot_valid[:, None], d, 0.0),
+        ts=jnp.where(slot_valid, tg + dtg - t0g, 0.0),
+        dts=dtg,
+        ray_id=jnp.where(slot_valid, n, jnp.int32(2**30)),
+        offsets=offsets,
+        counts=counts,
+        num_valid=jnp.minimum(total, m_budget),
+    )
+
+
 def first_k_valid(
     valid: jnp.ndarray, budget: int, spread: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

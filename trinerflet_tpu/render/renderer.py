@@ -61,10 +61,15 @@ class RenderConfig:
     # samples per ray instead of the training budget. 0 -> same as training.
     eval_samples_per_ray: int = 0
     candidates_override: int = 0       # 0 -> ceil(bound * max_steps)
-    # "per_ray": dense (N, B) layout, masked cumprod compositing (fastest);
-    # "global": shared [N*B] buffer with segmented compositing (no padding
-    # waste when sample counts are highly skewed across rays)
+    # "per_ray": dense (N, B) layout, masked cumprod compositing;
+    # "global": shared buffer with segmented compositing (no padding waste
+    # when sample counts are highly skewed across rays — field/gather volume
+    # scales with the live mean instead of the budget B)
     compaction: str = "per_ray"
+    # global-compaction shared buffer size = N * this (hierarchical march
+    # only; 0 disables the second stage). The trainer auto-tunes it from
+    # the live mean samples/ray.
+    global_slots_per_ray: int = 0
     # hierarchical march (two-level occupancy test; requires dt_gamma == 0 and
     # an occ_coarse grid) vs flat candidate enumeration
     march: str = "hierarchical"
@@ -92,11 +97,16 @@ class RenderConfig:
         if self.eval_samples_per_ray <= 0 or (
             self.eval_samples_per_ray == self.samples_per_ray_budget
         ):
+            # eval always uses the exact dense layout: a tail-dropping shared
+            # buffer must never truncate reported metrics
+            if self.compaction == "global":
+                return dataclasses.replace(self, compaction="per_ray")
             return self
         e = self.eval_samples_per_ray
         return dataclasses.replace(
             self,
             samples_per_ray_budget=e,
+            compaction="per_ray",
             coarse_budget=max(self.coarse_budget, -(-e // self.fine_per_coarse) + 2),
         )
 
@@ -412,11 +422,11 @@ def render_occgrid(
 
     steps = max_steps or cfg.max_steps
     B = cfg.samples_per_ray_budget
+    global_fill = None
     hierarchical = (
         cfg.march == "hierarchical"
         and cfg.dt_gamma == 0.0
         and occ_coarse is not None
-        and cfg.compaction == "per_ray"
     )
     if hierarchical:
         F = cfg.fine_per_coarse
@@ -430,19 +440,6 @@ def render_occgrid(
         )
         dt = jnp.where(mask, dt_scalar * stride[:, None], 0.0)
         t0 = nears_c + dt_scalar * noise
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-        pts = jnp.clip(pts, -cfg.bound, cfg.bound)
-        dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
-        sigmas, rgbs = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
-        sigmas = sigmas.reshape(N, B)
-        rgbs = rgbs.reshape(N, B, 3)
-        ts_rel = jnp.where(mask, t + dt - t0[:, None], 0.0)
-        ws, depth_raw, image, weights = RM.composite_dense(
-            cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
-            t_thresh=cfg.t_thresh,
-        )
-        mean_z = depth_raw / jnp.maximum(ws, 1e-8)
-        z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
         num_samples = mask.sum()
         # per-ray demand BEFORE budget compaction (kept * stride undoes the
         # spread subsampling): the auto-tune signal — the budget layout
@@ -450,6 +447,37 @@ def render_occgrid(
         demand = mask.sum(-1).astype(jnp.float32) * stride
         samples_p99 = jnp.quantile(demand, 0.99)
         overflow_frac = (demand > B).mean().astype(jnp.float32)
+        if cfg.compaction == "global" and cfg.global_slots_per_ray > 0:
+            # second-stage global compaction: field/gather volume scales with
+            # the live MEAN samples/ray instead of the p99-sized budget B
+            comp = RM.compact_global_dense(
+                rays_o, rays_d, t, dt, mask, t0,
+                m_budget=N * cfg.global_slots_per_ray, bound=cfg.bound,
+            )
+            sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
+            ws, depth_raw, image, z_var = RM.composite_compact(
+                cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
+            )
+            num_samples = comp.num_valid
+            # retune signal: fraction of the shared buffer in use (distinct
+            # from overflow_frac, which drives the per-ray budget autotune)
+            global_fill = comp.num_valid.astype(jnp.float32) / (
+                N * cfg.global_slots_per_ray
+            )
+        else:
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+            pts = jnp.clip(pts, -cfg.bound, cfg.bound)
+            dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+            sigmas, rgbs = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
+            sigmas = sigmas.reshape(N, B)
+            rgbs = rgbs.reshape(N, B, 3)
+            ts_rel = jnp.where(mask, t + dt - t0[:, None], 0.0)
+            ws, depth_raw, image, weights = RM.composite_dense(
+                cfg.density_scale * sigmas, rgbs, dt, ts_rel, mask=mask,
+                t_thresh=cfg.t_thresh,
+            )
+            mean_z = depth_raw / jnp.maximum(ws, 1e-8)
+            z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
     else:
         n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
         march = RM.march_candidates(
@@ -496,4 +524,6 @@ def render_occgrid(
     if samples_p99 is not None:
         out["samples_p99"] = samples_p99
         out["overflow_frac"] = overflow_frac
+    if global_fill is not None:
+        out["global_fill"] = global_fill
     return out

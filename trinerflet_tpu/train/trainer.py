@@ -170,6 +170,7 @@ class Trainer:
         self.eval_chunk = max(1024, train_cfg.eval_chunk // ratio)
         self._march_retunes = 0
         self._budget_retunes = 0
+        self._global_retunes = 0
         self._budget_p99_ema = None
         self._budget_max = render_cfg.samples_per_ray_budget
         self._base_render_cfg = render_cfg   # configured (pre-retune) shapes
@@ -324,6 +325,35 @@ class Trainer:
                 # CONFIGURED train budget, not the tuned one
                 self._budget_retunes += 1
                 self._build_jits()
+
+        # (c) Global compaction: when the live mean samples/ray sits far below
+        # the (p99-sized) budget B, switch the train render to the shared-
+        # buffer layout so field evals + plane gathers/scatters scale with the
+        # mean instead of B (measured 2.6 vs B=20 at the bench config). Buffer
+        # sized 3x the live mean; grows (or falls back to dense) if it fills.
+        if (self.cfg.budget_autotune and aux is not None
+                and self._global_retunes < 4 and "num_samples" in aux):
+            cfg = self.render_cfg
+            B = cfg.samples_per_ray_budget
+            fill = float(aux.get("global_fill", 0.0))
+            if cfg.compaction == "global" and fill > 0.85:
+                slots = cfg.global_slots_per_ray * 2
+                if slots >= B:  # dense is cheaper once the buffer ~= N*B
+                    self.render_cfg = dataclasses.replace(
+                        cfg, compaction="per_ray", global_slots_per_ray=0)
+                else:
+                    self.render_cfg = dataclasses.replace(
+                        cfg, global_slots_per_ray=slots)
+                self._global_retunes += 1
+                self._build_jits()
+            elif cfg.compaction == "per_ray" and self._global_retunes == 0:
+                mean = float(aux["num_samples"]) / self.cfg.num_rays
+                slots = max(4, int(_m.ceil(mean * 3.0 / 2) * 2))
+                if slots <= B // 2:
+                    self.render_cfg = dataclasses.replace(
+                        cfg, compaction="global", global_slots_per_ray=slots)
+                    self._global_retunes += 1
+                    self._build_jits()
 
     # ------------------------------------------------------------------ init
 
