@@ -116,3 +116,54 @@ from trinerflet_tpu.data.rays import sample_ray_batch  # noqa: E402
 
 timeit("g sample_ray_batch", lambda r: sample_ray_batch(
     r, images, poses, intrinsics, N), rng)
+
+
+# --- RNG implementation suspects -------------------------------------------
+# threefry2x32 is JAX's default key impl; 'rbg' uses the hardware RNG.
+rbg_key = jax.random.key(0, impl="rbg")
+
+timeit("h randint rbg impl", lambda r: (
+    jax.random.randint(jax.random.split(r)[0], (N,), 0, V),
+    jax.random.randint(jax.random.split(r)[1], (N,), 0, H * W)), rbg_key)
+
+
+def lcg(r):
+    # counter-based stateless LCG from one scalar seed: 2 mul-adds per stream
+    s = jax.random.key_data(r).reshape(-1)[0].astype(jnp.uint32)
+    c = jnp.arange(N, dtype=jnp.uint32)
+    a = (s + c) * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    b = (s + c + jnp.uint32(0x9E3779B9)) * jnp.uint32(747796405)
+    return (a % jnp.uint32(V)).astype(jnp.int32), \
+           (b % jnp.uint32(H * W)).astype(jnp.int32)
+
+
+timeit("i stateless LCG idx", lcg, rng)
+
+
+def j_bits(r):
+    k1, k2 = jax.random.split(r)
+    b1 = jax.random.bits(k1, (N,), jnp.uint32)
+    b2 = jax.random.bits(k2, (N,), jnp.uint32)
+    return (b1 % jnp.uint32(V)).astype(jnp.int32), \
+           (b2 % jnp.uint32(H * W)).astype(jnp.int32)
+
+
+timeit("j bits+mod (no randint)", j_bits, rng)
+
+timeit("k split only", lambda r: jax.random.split(r), rng)
+
+timeit("l one fold_in + bits", lambda r: jax.random.bits(
+    jax.random.fold_in(r, 7), (2 * N,), jnp.uint32), rng)
+
+
+def m_full_lcg(r):
+    ii, pp = lcg(r)
+    dd = dirs_of(pp)
+    rot = poses[ii, :3, :3]
+    rd = (rot * dd[:, None, :]).sum(-1)
+    ro = poses[ii, :3, 3]
+    pix = images.reshape(V, H * W, -1)[ii, pp]
+    return ro, rd, pix
+
+
+timeit("m full sampler w/ LCG", m_full_lcg, rng)

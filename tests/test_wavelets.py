@@ -128,3 +128,68 @@ class TestTransforms:
         yl2, yh2 = W.dwt2d(2.0 * x, "bior6.8")
         np.testing.assert_allclose(np.asarray(yl2), 2 * np.asarray(yl1), atol=1e-4)
         np.testing.assert_allclose(np.asarray(yh2), 2 * np.asarray(yh1), atol=1e-4)
+
+    def test_lowpass_one_larger_is_cropped(self):
+        """pytorch_wavelets DWTInverse crops the trailing lowpass row/col when
+        the lowpass is one larger than the detail bands (odd-size forward
+        inputs reconstruct to n+1); the reference ladder leans on this. The
+        cropped-yl reconstruction must equal passing the pre-cropped yl."""
+        rng = np.random.default_rng(3)
+        yl = jnp.asarray(rng.standard_normal((1, 2, 10, 10)), jnp.float32)
+        yh = jnp.asarray(rng.standard_normal((1, 2, 3, 9, 9)), jnp.float32)
+        out = W.idwt2d(yl, yh, "bior6.8")
+        ref = W.idwt2d(yl[:, :, :9, :9], yh, "bior6.8")
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_inconsistent_band_sizes_raise(self):
+        yl = jnp.zeros((1, 2, 24, 24))
+        yh = jnp.zeros((1, 2, 3, 16, 16))
+        with pytest.raises(ValueError, match="more than one"):
+            W.idwt2d(yl, yh, "bior6.8")
+
+    @pytest.mark.parametrize("name", ["bior6.8", "bior2.2"])
+    def test_odd_input_roundtrip(self, name):
+        """Forward DWT of an ODD-sized input then inverse: size comes back as
+        n+1 (trailing growth only) and the interior reconstructs exactly."""
+        rng = np.random.default_rng(4)
+        L = len(W.filter_bank(name)[0])
+        n = 8 * L + 1
+        x = np.zeros((1, 2, n, n), np.float32)
+        x[:, :, L:-L - 1, L:-L - 1] = rng.standard_normal(
+            (1, 2, n - 2 * L - 1, n - 2 * L - 1)).astype(np.float32)
+        yl, yh = W.dwt2d(jnp.asarray(x), name)
+        rec = np.asarray(W.idwt2d(yl, yh, name))
+        m = min(rec.shape[-1], n)
+        or_, ox = (rec.shape[-1] - m) // 2, (n - m) // 2
+        pad = 2 * L
+        np.testing.assert_allclose(
+            rec[:, :, or_:or_ + m, or_:or_ + m][:, :, pad:-pad, pad:-pad],
+            x[:, :, ox:ox + m, ox:ox + m][:, :, pad:-pad, pad:-pad],
+            atol=2e-5)
+
+
+class TestNonPow2Ladder:
+    def test_cli_deep_ladder_config(self):
+        """Regression: resolution=64 / wavelet_scale=128 (more levels than the
+        resolution supports cleanly) drives the pyramid through 1x1/odd sizes;
+        the inverse ladder must still produce exactly resolution-sized planes
+        (previously crashed with a lo/hi operator size mismatch)."""
+        import jax
+        from trinerflet_tpu.models.triplane import (
+            TriplaneConfig, init_triplane_params, build_planes)
+        cfg = TriplaneConfig(channels=4, resolution=64, wavelet_scale=128)
+        params = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        planes = build_planes(params, cfg)
+        assert planes["full"].shape == (3, 64, 64, 4), planes["full"].shape
+
+    def test_nonpow2_resolution_ladder(self):
+        """Odd intermediate sizes (res=300: 150 -> 75 -> 38) exercise the
+        pytorch_wavelets-style lowpass crop inside the ladder."""
+        import jax
+        from trinerflet_tpu.models.triplane import (
+            TriplaneConfig, init_triplane_params, build_planes)
+        cfg = TriplaneConfig(channels=2, resolution=300, wavelet_scale=8)
+        params = init_triplane_params(jax.random.PRNGKey(0), cfg)
+        planes = build_planes(params, cfg)
+        assert planes["full"].shape == (3, 300, 300, 2), planes["full"].shape

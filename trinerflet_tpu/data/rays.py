@@ -37,12 +37,18 @@ def rays_for_pixels(
     j = (pix_idx // W).astype(jnp.float32) + 0.5
     dirs = jnp.stack([(i - cx) / fx, (j - cy) / fy, jnp.ones_like(i)], axis=-1)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    rot = poses[img_idx, :3, :3]          # (B, 3, 3)
+    # ONE flat row-take of whole (16,) pose rows, then static slicing.
+    # `poses[idx, :3, :3]` is a gather with slice_sizes (1, 3, 3), which this
+    # TPU stack serializes (~µs/row); whole-row take is the fast ~15 ns/row
+    # gather path (PERF.md primitive table). Static slices of the gathered
+    # rows are free.
+    rows = jnp.take(poses.reshape(-1, 16), img_idx, axis=0)   # (B, 16)
+    rot = rows[:, :12].reshape(-1, 3, 4)[:, :, :3]            # (B, 3, 3)
     # broadcast-multiply-sum, NOT einsum: a (B,3,3)x(B,3) batched matvec
     # lowers to B tiny MXU dot_generals on TPU (~90 ms for B=32k, measured —
     # scripts/bench_sampling_bisect.py); the elementwise form is free
     rays_d = (rot * dirs[:, None, :]).sum(-1)
-    rays_o = poses[img_idx, :3, 3]
+    rays_o = rows[:, 3:12:4]                                  # (B, 3) col 3
     return rays_o, rays_d
 
 

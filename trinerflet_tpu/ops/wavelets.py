@@ -500,6 +500,23 @@ def idwt2d(yl: jnp.ndarray, yh: jnp.ndarray, name: str = "bior6.8") -> jnp.ndarr
       (B, C, 2H - L + 2, 2W - L + 2)
     """
     _, _, rec_lo, rec_hi = filter_bank(name)
+    # Lowpass/detail sizes can disagree by one: a forward DWT of an ODD-sized
+    # input yields floor((n+L-1)/2) and the inverse then reconstructs n+1, so
+    # the next ladder level sees a lowpass one larger than its stored detail
+    # bands. pytorch_wavelets' DWTInverse silently crops the trailing lowpass
+    # row/col in exactly this case, and the reference leans on that behaviour
+    # (triplane_encoder.py:186 builds the inverse with mode='zero' and feeds
+    # pad-gated yl/yh straight in); replicate it here for both backends.
+    if yl.shape[-2] > yh.shape[-2]:
+        yl = yl[..., :-1, :]
+    if yl.shape[-1] > yh.shape[-1]:
+        yl = yl[..., :-1]
+    if yl.shape[-2:] != yh.shape[-2:]:
+        raise ValueError(
+            f"idwt2d: lowpass {yl.shape[-2:]} and detail {yh.shape[-2:]} "
+            "spatial sizes differ by more than one — the wavelet pyramid "
+            "arithmetic (wavelet_pyramid_shapes) and the coefficients passed "
+            "in are inconsistent (check wavelet_base_resolution gating)")
     hl, lh, hh = yh[:, :, 0], yh[:, :, 1], yh[:, :, 2]
     lo = _synthesis_1d(yl, lh, rec_lo, rec_hi, 1, name)
     hi = _synthesis_1d(hl, hh, rec_lo, rec_hi, 1, name)
