@@ -167,3 +167,23 @@ def m_full_lcg(r):
 
 
 timeit("m full sampler w/ LCG", m_full_lcg, rng)
+
+
+# --- pixel-gather A/B: 2-array advanced indexing vs flat row-take ----------
+def px_adv(r):
+    ii, pp = idx(r)
+    return images.reshape(V, H * W, -1)[ii, pp]
+
+
+def px_flat(r):
+    ii, pp = idx(r)
+    return jnp.take(images.reshape(V * H * W, -1), ii * (H * W) + pp, axis=0)
+
+
+timeit("n pixels 2-array adv idx", px_adv, rng)
+timeit("o pixels flat row-take", px_flat, rng)
+
+from trinerflet_tpu.data.rays import sample_ray_batch as srb_now  # noqa: E402
+
+timeit("p sample_ray_batch (now)", lambda r: srb_now(
+    r, images, poses, intrinsics, N), rng)

@@ -77,8 +77,18 @@ def sample_ray_batch(
     img_idx = jax.random.randint(k1, (num_rays,), 0, V)
     pix_idx = jax.random.randint(k2, (num_rays,), 0, H * W)
     rays_o, rays_d = rays_for_pixels(poses, intrinsics, W, img_idx, pix_idx)
-    pixels = images.reshape(V, H * W, -1)[img_idx, pix_idx]
+    pixels = _take_pixels(images, img_idx, pix_idx)
     return rays_o, rays_d, pixels
+
+
+def _take_pixels(images: jnp.ndarray, img_idx: jnp.ndarray, pix_idx: jnp.ndarray):
+    """Gather (B, C) pixel rows as ONE flat row-take. Two-array advanced
+    indexing (``images[v, p]``) lowers to a 2-operand gather this stack
+    serializes; a single fused index keeps it on the fast whole-row take path
+    (PERF.md primitive table)."""
+    V, H, W = images.shape[:3]
+    flat = img_idx * (H * W) + pix_idx
+    return jnp.take(images.reshape(V * H * W, -1), flat, axis=0)
 
 
 def sample_ray_batch_error_map(
@@ -126,7 +136,7 @@ def sample_ray_batch_error_map(
     iy = jnp.clip((cy * sy + jy * sy).astype(jnp.int32), 0, W - 1)
     pix_idx = ix * W + iy
     rays_o, rays_d = rays_for_pixels(poses, intrinsics, W, img_idx, pix_idx)
-    pixels = images.reshape(V, H * W, -1)[img_idx, pix_idx]
+    pixels = _take_pixels(images, img_idx, pix_idx)
     return rays_o, rays_d, pixels, (img_idx, cell)
 
 
@@ -142,8 +152,8 @@ def sample_ray_batch_pregen(
     k1, k2 = jax.random.split(rng)
     img_idx = jax.random.randint(k1, (num_rays,), 0, V)
     pix_idx = jax.random.randint(k2, (num_rays,), 0, H * W)
-    flat = lambda a: a.reshape(V, H * W, -1)[img_idx, pix_idx]
-    return flat(rays_o), flat(rays_d), flat(images)
+    take = lambda a: _take_pixels(a, img_idx, pix_idx)
+    return take(rays_o), take(rays_d), take(images)
 
 
 def rand_poses(rng: np.random.Generator, size: int, radius: float = 1.0,
