@@ -51,11 +51,14 @@ class TestWebApp:
         ws = str(tmp_path / "trial")
         # stand-in training process: logs, writes an image artifact, sleeps
         # (the handler path is identical for the real sr.launch/cli commands)
+        # write the artifact atomically (tmp + rename) so the /artifact GET
+        # can never observe a created-but-empty file under scheduler load
         mon_cmd = (
             "import os,sys,time; os.makedirs(sys.argv[1], exist_ok=True);"
             "print('step 1 loss 0.5', flush=True);"
-            "open(os.path.join(sys.argv[1], 'val_0.png'), 'wb')"
-            ".write(b'\\x89PNG fake');"
+            "p=os.path.join(sys.argv[1], 'val_0.png');"
+            "open(p+'.tmp', 'wb').write(b'\\x89PNG fake');"
+            "os.rename(p+'.tmp', p);"
             "time.sleep(60)"
         )
         import sys
