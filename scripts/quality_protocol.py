@@ -52,10 +52,18 @@ state = trainer.fit(state, train_scene, log_every=400)
 print(f"trained in {time.time() - t0:.0f} s", flush=True)
 
 
+_trainers = {}
+
+
 def eval_psnr(params, renderer_kind: str, deep: int):
-    rc = dataclasses.replace(render_cfg, eval_samples_per_ray=deep)
-    tc = dataclasses.replace(train_cfg, renderer=renderer_kind)
-    tr = Trainer(nerf_cfg, rc, tc)
+    # one Trainer per (renderer, budget): each distinct eval config is a
+    # separate remote-TPU compile (30-120 s) — never compile the same twice
+    key = (renderer_kind, deep)
+    if key not in _trainers:
+        rc = dataclasses.replace(render_cfg, eval_samples_per_ray=deep)
+        tc = dataclasses.replace(train_cfg, renderer=renderer_kind)
+        _trainers[key] = Trainer(nerf_cfg, rc, tc)
+    tr = _trainers[key]
     ps = []
     for v in test_views:
         img, _ = tr.render_image(params, state.occ, scene.poses[v],
