@@ -126,6 +126,61 @@ class TestOccgridPath:
             np.asarray(hier["weights_sum"]), np.asarray(flat["weights_sum"]), atol=5e-3
         )
 
+    def test_strided_occ_test_is_conservative_superset(self):
+        """occ_test_stride probes the dilated grid once per `s` candidates;
+        its validity must contain every exactly-tested valid candidate
+        (never a hole) while stride*dt stays under one voxel."""
+        from trinerflet_tpu.ops import raymarch as RM
+        rng = np.random.default_rng(3)
+        G, CAS, N = 32, 1, 256
+        occ = jnp.asarray(rng.random((CAS, G, G, G)) < 0.05)
+        occ_coarse = R._dilate3(occ)
+        o = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)), jnp.float32)
+        d = rng.standard_normal((N, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+        aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+        nears, fars = RM.near_far_from_aabb(o, d, aabb, 0.05)
+        nears = jnp.where(nears < 1e30, nears, 0.0)
+        fars = jnp.where(fars < 1e30, fars, 0.0)
+        noise = jnp.zeros((N,), jnp.float32)
+        # budget = coarse_budget * fine_per_coarse: nothing ever subsampled,
+        # so the kept-sample sets are exactly the validity sets
+        kw = dict(num_coarse=24, fine_per_coarse=8, coarse_budget=24,
+                  budget=24 * 8, max_steps=256, grid_size=G, cascades=CAS,
+                  bound=1.0, dt_gamma=0.0)
+        t1, dt1, m1, s1 = RM.march_hierarchical(
+            o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=1, **kw)
+        t2, dt2, m2, s2 = RM.march_hierarchical(
+            o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=2, **kw)
+        # every exactly-valid sample t must appear in the strided set
+        t1v = np.asarray(jnp.where(m1, t1, -1.0))
+        t2v = np.asarray(jnp.where(m2, t2, -1.0))
+        for i in range(N):
+            exact = set(np.round(t1v[i][t1v[i] >= 0], 5).tolist())
+            strided = set(np.round(t2v[i][t2v[i] >= 0], 5).tolist())
+            assert exact <= strided, (i, exact - strided)
+
+    def test_strided_occ_render_matches_flat(self):
+        """Renders with auto occ_test_stride stay close to the flat march
+        (extra conservative candidates land in ~zero-density cells)."""
+        base = dict(bound=1.0, grid_size=64, num_steps=512, max_steps=512,
+                    samples_per_ray_budget=220, density_thresh=0.5,
+                    coarse_budget=48, fine_per_coarse=8)
+        cfg_flat = R.RenderConfig(**base, march="flat")
+        cfg_s = R.RenderConfig(**base, march="hierarchical", occ_test_stride=0)
+        assert cfg_s.resolved_occ_test_stride() >= 2
+        occ = self._occ_from_field(cfg_flat)
+        o, d = camera_rays(32)
+        flat = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_flat, bg_color=0.0)
+        strided = R.render_occgrid(analytic_field, o, d, occ.occ, cfg_s,
+                                   bg_color=0.0, occ_coarse=occ.occ_coarse)
+        # the superset adds boundary-shell samples with small but nonzero
+        # density (the flat march skips them), so images differ slightly at
+        # soft edges — bounded, and on the *more*-integrated side
+        np.testing.assert_allclose(
+            np.asarray(strided["image"]), np.asarray(flat["image"]), atol=0.05
+        )
+
     def test_gradients_through_render(self):
         cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=128,
                              samples_per_ray_budget=64, density_thresh=0.5)

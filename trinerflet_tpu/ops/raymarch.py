@@ -371,6 +371,7 @@ def first_k_valid(
     static_argnames=(
         "num_coarse", "fine_per_coarse", "coarse_budget", "budget",
         "max_steps", "grid_size", "cascades", "bound", "dt_gamma",
+        "occ_test_stride",
     ),
 )
 def march_hierarchical(
@@ -391,6 +392,7 @@ def march_hierarchical(
     cascades: int = 1,
     bound: float = 1.0,
     dt_gamma: float = 0.0,
+    occ_test_stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-level occupancy marching (TPU redesign of the CUDA voxel-skipping
     loop, raymarching.cu:384-399).
@@ -434,9 +436,26 @@ def march_hierarchical(
     t_seg0 = t0[:, None] + seg * seg_idx.astype(rays_o.dtype)     # (N, Bc)
     kf = jnp.arange(fine_per_coarse, dtype=rays_o.dtype)
     t_f = t_seg0[..., None] + dt * kf[None, None, :]              # (N, Bc, F)
-    pts_f = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_f[..., None]
-    pts_f = jnp.clip(pts_f, -bound, bound)
-    occ_f = occ_lookup(occ, pts_f, jnp.full_like(t_f, dt))
+    if occ_test_stride > 1:
+        # strided occupancy testing: consecutive dt-spaced candidates mostly
+        # share a grid cell (dt ~ cell/5 at the Blender recipes), so test one
+        # probe point per `stride` candidates against the DILATED grid — the
+        # 3^3 dilation covers +-1 voxel > stride*dt/2 for stride*dt < cell,
+        # making the broadcast validity conservative (a superset: never a
+        # hole, at worst a few wasted budget slots in empty boundary cells).
+        # Cuts the fine gather volume (the march bottleneck) by `stride`x.
+        s = occ_test_stride
+        n_probe = -(-fine_per_coarse // s)
+        kp = jnp.arange(n_probe, dtype=rays_o.dtype)
+        t_p = t_seg0[..., None] + dt * (s * kp[None, None, :] + 0.5 * (s - 1))
+        pts_p = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_p[..., None]
+        pts_p = jnp.clip(pts_p, -bound, bound)
+        occ_p = occ_lookup(occ_coarse, pts_p, jnp.full_like(t_p, dt))
+        occ_f = jnp.repeat(occ_p, s, axis=-1)[..., :fine_per_coarse]
+    else:
+        pts_f = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_f[..., None]
+        pts_f = jnp.clip(pts_f, -bound, bound)
+        occ_f = occ_lookup(occ, pts_f, jnp.full_like(t_f, dt))
     valid_f = occ_f & seg_mask[..., None] & (t_f < fars[:, None, None])
     valid_f = valid_f.reshape(N, coarse_budget * fine_per_coarse)
     t_f = t_f.reshape(N, coarse_budget * fine_per_coarse)

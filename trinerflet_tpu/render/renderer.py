@@ -79,6 +79,19 @@ class RenderConfig:
     # ceil(bound * max_steps / fine_per_coarse). The trainer auto-tunes this
     # down from the live occupied-bbox diagonal (one recompile).
     num_coarse_override: int = 0
+    # fine occupancy-test stride: test 1 probe per this many dt-spaced
+    # candidates against the dilated grid and broadcast (conservative
+    # superset validity while stride*dt < cell; see march_hierarchical).
+    # 1 = exact per-candidate test; 0 = auto (floor(cell/(2*dt)), capped so
+    # stride*dt stays under one voxel).
+    occ_test_stride: int = 1
+
+    def resolved_occ_test_stride(self) -> int:
+        if self.occ_test_stride != 0:
+            return max(1, self.occ_test_stride)
+        cell = 2.0 * min(1.0, self.bound) / self.grid_size
+        dt = 2.0 * math.sqrt(3.0) / self.max_steps
+        return max(1, min(self.fine_per_coarse, int(cell / (2.0 * dt))))
 
     @property
     def cascades(self) -> int:
@@ -436,7 +449,7 @@ def render_occgrid(
             num_coarse=num_coarse, fine_per_coarse=F,
             coarse_budget=cfg.coarse_budget, budget=B, max_steps=steps,
             grid_size=cfg.grid_size, cascades=cfg.cascades, bound=cfg.bound,
-            dt_gamma=0.0,
+            dt_gamma=0.0, occ_test_stride=cfg.resolved_occ_test_stride(),
         )
         dt = jnp.where(mask, dt_scalar * stride[:, None], 0.0)
         t0 = nears_c + dt_scalar * noise
