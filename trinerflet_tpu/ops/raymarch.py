@@ -323,8 +323,9 @@ def compact_global_dense(
 
 
 def first_k_valid(
-    valid: jnp.ndarray, budget: int, spread: bool = False
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    valid: jnp.ndarray, budget: int, spread: bool = False,
+    payload: jnp.ndarray = None,
+):
     """Per-row selection of ``budget`` True entries of ``valid`` (N, K).
 
     With ``spread=False`` takes the first ``budget`` valid entries. With
@@ -340,13 +341,25 @@ def first_k_valid(
     flat gather per kept sample. (The previous row-cumsum binary search issued
     log2(K) gathers per kept sample — ~6M serialized gathers/step at the bench
     config, a top-3 step cost.)
+
+    With ``payload`` (N, K), its values ride the lane sort as an extra sort
+    operand (~free, PERF.md) and the selected values are returned alongside —
+    saving the caller a SECOND serialized row-take (e.g. the march's final
+    ``t`` gather, ~655k rows/step at the bench config).
+
     Returns (idx (N, budget) int32, mask (N, budget) bool,
-    stride (N,) float32 = #valid represented by each kept sample, >= 1).
+    stride (N,) float32 = #valid represented by each kept sample, >= 1
+    [, payload_taken (N, budget) when ``payload`` is given]).
     """
     N, K = valid.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
     keys = jnp.where(valid, pos, K)
-    sorted_pos = jax.lax.sort(keys, dimension=1)  # valid positions first
+    if payload is None:
+        sorted_pos = jax.lax.sort(keys, dimension=1)  # valid positions first
+    else:
+        sorted_pos, sorted_pl = jax.lax.sort(
+            (keys, payload), dimension=1, num_keys=1
+        )
     count = valid.astype(jnp.int32).sum(axis=1, keepdims=True)
     b1 = jnp.broadcast_to(jnp.arange(1, budget + 1, dtype=jnp.int32), (N, budget))
     if spread:
@@ -361,9 +374,19 @@ def first_k_valid(
         stride = jnp.ones((N,), jnp.float32)
     rowoff = (jnp.arange(N, dtype=jnp.int32) * K)[:, None]
     src = rowoff + jnp.clip(tgt - 1, 0, K - 1)
-    idx = jnp.take(sorted_pos.reshape(-1), src)
     mask = b1 <= count
-    return jnp.minimum(idx, K - 1), mask, stride
+    if payload is None:
+        idx = jnp.take(sorted_pos.reshape(-1), src)
+        return jnp.minimum(idx, K - 1), mask, stride
+    # ONE flat row-take serves both the position and the payload: stack the
+    # two sorted lanes channel-last into (N*K, 2) rows (pos as float is exact
+    # for K < 2^24)
+    both = jnp.stack(
+        [sorted_pos.astype(payload.dtype), sorted_pl], axis=-1
+    ).reshape(N * K, 2)
+    rows = jnp.take(both, src.reshape(-1), axis=0).reshape(N, budget, 2)
+    idx = rows[..., 0].astype(jnp.int32)
+    return jnp.minimum(idx, K - 1), mask, stride, rows[..., 1]
 
 
 @partial(
@@ -460,11 +483,11 @@ def march_hierarchical(
     valid_f = valid_f.reshape(N, coarse_budget * fine_per_coarse)
     t_f = t_f.reshape(N, coarse_budget * fine_per_coarse)
 
-    # ---- final compaction to the sample budget (evenly spread when over)
-    idx, mask, fine_stride = first_k_valid(valid_f, budget, spread=True)
-    t = jnp.take(
-        t_f.reshape(-1),
-        (jnp.arange(N, dtype=jnp.int32) * (coarse_budget * fine_per_coarse))[:, None] + idx,
+    # ---- final compaction to the sample budget (evenly spread when over);
+    # t rides the selection sort as a payload: one fused row-take instead of
+    # a select-idx take followed by a t gather
+    _, mask, fine_stride, t = first_k_valid(
+        valid_f, budget, spread=True, payload=t_f
     )
     t = jnp.where(mask, t, 0.0)
     # each kept sample stands in for stride-many occupied steps of optical depth
