@@ -294,14 +294,23 @@ def compact_global_dense(
     slot_valid = src < N * B
     src = jnp.where(slot_valid, src, N * B - 1)
 
-    # ONE gather of [t | dt] pairs, one of per-ray [o | d | t0] rows
-    tdt = jnp.stack([t.reshape(-1), dt.reshape(-1)], axis=-1)
-    tdt = jnp.take(tdt, src, axis=0)
-    n = (src // B).astype(jnp.int32)
+    # ONE fused gather: broadcast the per-ray [o | d | t0] rows across the B
+    # slots and take [o | d | t0 | t | dt] 9-wide rows in a single pass —
+    # takes are per-ROW latency-bound on this stack (PERF.md), so one
+    # m_budget-row take beats two (the broadcast write is dense/vectorized)
     odt0 = jnp.concatenate([rays_o, rays_d, t0[:, None]], axis=-1)  # (N, 7)
-    odt0 = jnp.take(odt0, n, axis=0)
-    o, d, t0g = odt0[:, 0:3], odt0[:, 3:6], odt0[:, 6]
-    tg, dtg = tdt[:, 0], jnp.where(slot_valid, tdt[:, 1], 0.0)
+    table = jnp.concatenate(
+        [
+            jnp.broadcast_to(odt0[:, None, :], (N, B, 7)).reshape(N * B, 7),
+            t.reshape(-1, 1),
+            dt.reshape(-1, 1),
+        ],
+        axis=-1,
+    )  # (N*B, 9)
+    rows = jnp.take(table, src, axis=0)
+    n = (src // B).astype(jnp.int32)
+    o, d, t0g = rows[:, 0:3], rows[:, 3:6], rows[:, 6]
+    tg, dtg = rows[:, 7], jnp.where(slot_valid, rows[:, 8], 0.0)
     pts = jnp.clip(o + d * tg[:, None], -bound, bound)
 
     counts_full = mask.astype(jnp.int32).sum(axis=1)
