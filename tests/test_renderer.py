@@ -126,10 +126,12 @@ class TestOccgridPath:
             np.asarray(hier["weights_sum"]), np.asarray(flat["weights_sum"]), atol=5e-3
         )
 
-    def test_strided_occ_test_is_conservative_superset(self):
-        """occ_test_stride probes the dilated grid once per `s` candidates;
-        its validity must contain every exactly-tested valid candidate
-        (never a hole) while stride*dt stays under one voxel."""
+    def test_strided_occ_test_jitters_only_run_boundaries(self):
+        """occ_test_stride probes the fine grid once per `s` candidates
+        (nearest assignment): vs the exact per-candidate test, validity may
+        differ only within `s` candidates of an occupied-run boundary — a
+        symmetric endpoint jitter, never interior holes or whole-run
+        phantoms."""
         from trinerflet_tpu.ops import raymarch as RM
         rng = np.random.default_rng(3)
         G, CAS, N = 32, 1, 256
@@ -152,13 +154,30 @@ class TestOccgridPath:
             o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=1, **kw)
         t2, dt2, m2, s2 = RM.march_hierarchical(
             o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=2, **kw)
-        # every exactly-valid sample t must appear in the strided set
         t1v = np.asarray(jnp.where(m1, t1, -1.0))
         t2v = np.asarray(jnp.where(m2, t2, -1.0))
+        s = 2
+        n_mismatch = n_total = 0
         for i in range(N):
             exact = set(np.round(t1v[i][t1v[i] >= 0], 5).tolist())
             strided = set(np.round(t2v[i][t2v[i] >= 0], 5).tolist())
-            assert exact <= strided, (i, exact - strided)
+            diff = exact ^ strided
+            n_mismatch += len(diff)
+            n_total += max(len(exact), 1)
+            # every mismatched t must lie within s*dt of a sample the two
+            # sets AGREE is valid, or belong to a run shorter than s
+            # (boundary jitter, not an interior hole/phantom)
+            agree = np.asarray(sorted(exact & strided))
+            for tv in diff:
+                if agree.size:
+                    near = np.abs(agree - tv).min()
+                    if near <= s * 0.0135 * 1.01:  # s*dt at max_steps=256
+                        continue
+                # isolated short run: all of its samples mislabeled together
+                run = [u for u in (exact | strided) if abs(u - tv) <= s * 0.0135]
+                assert len(run) <= s, (i, tv)
+        # boundary jitter only: aggregate mismatch stays a small fraction
+        assert n_mismatch / n_total < 0.35, n_mismatch / n_total
 
     def test_strided_occ_render_matches_flat(self):
         """Renders with auto occ_test_stride stay close to the flat march

@@ -471,18 +471,24 @@ def march_hierarchical(
     if occ_test_stride > 1:
         # strided occupancy testing: consecutive dt-spaced candidates mostly
         # share a grid cell (dt ~ cell/5 at the Blender recipes), so test one
-        # probe point per `stride` candidates against the DILATED grid — the
-        # 3^3 dilation covers +-1 voxel > stride*dt/2 for stride*dt < cell,
-        # making the broadcast validity conservative (a superset: never a
-        # hole, at worst a few wasted budget slots in empty boundary cells).
-        # Cuts the fine gather volume (the march bottleneck) by `stride`x.
+        # probe point per `stride` candidates against the exact fine grid and
+        # broadcast the probe's cell occupancy to its group (nearest-probe
+        # assignment). Cuts the fine gather volume (the march bottleneck) by
+        # `stride`x. While stride*dt < cell the probe sits within half a cell
+        # of every candidate it stands for, so only candidates in the
+        # boundary half-cell of an occupied run can be mislabeled — a
+        # symmetric +-(stride/2)-sample jitter of run endpoints, with no
+        # systematic demand inflation (testing the dilated grid instead
+        # would be a strict superset but grows every occupied run by ~1 cell
+        # per side, inflating field-eval volume far beyond the gather
+        # savings).
         s = occ_test_stride
         n_probe = -(-fine_per_coarse // s)
         kp = jnp.arange(n_probe, dtype=rays_o.dtype)
         t_p = t_seg0[..., None] + dt * (s * kp[None, None, :] + 0.5 * (s - 1))
         pts_p = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_p[..., None]
         pts_p = jnp.clip(pts_p, -bound, bound)
-        occ_p = occ_lookup(occ_coarse, pts_p, jnp.full_like(t_p, dt))
+        occ_p = occ_lookup(occ, pts_p, jnp.full_like(t_p, dt))
         occ_f = jnp.repeat(occ_p, s, axis=-1)[..., :fine_per_coarse]
     else:
         pts_f = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_f[..., None]
