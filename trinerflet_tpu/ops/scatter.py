@@ -38,7 +38,8 @@ def xla_scatter_add(idx: jnp.ndarray, payload: jnp.ndarray, num_rows: int) -> jn
     return out.at[idx].add(payload.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_rows", "tile", "block", "precision"))
+@partial(jax.jit, static_argnames=("num_rows", "tile", "block", "precision",
+                                   "reorder"))
 def blocked_scatter_add(
     idx: jnp.ndarray,        # (N,) int32 row indices in [0, num_rows)
     payload: jnp.ndarray,    # (N, D)
@@ -46,6 +47,7 @@ def blocked_scatter_add(
     tile: int = 2048,
     block: int = 1024,
     precision: str = "highest",
+    reorder: str = "gather",
 ) -> jnp.ndarray:
     """out[i] = sum of payload rows with idx == i, as sort + one-hot matmuls.
 
@@ -58,10 +60,12 @@ def blocked_scatter_add(
     target is itself bf16, e.g. bf16 triplanes; the matmul passes are the bulk
     of the scan stage, so this is ~6x less MXU work).
 
-    Data movement is ONE payload row-gather (into sorted order, with the index
-    carried as an extra fp32 column) — block extraction inside the scan is a
-    contiguous dynamic slice, which costs DMA bandwidth instead of the
-    serialized per-row gather rate.
+    ``reorder`` picks how payload rows reach sorted order: ``"gather"`` =
+    argsort + ONE serialized row-gather (~14 ms at bench scale);
+    ``"sortops"`` = the payload columns ride ``lax.sort`` as extra operands
+    (multi-operand sort payloads are ~free on this stack, PERF.md), skipping
+    the row-gather entirely. Block extraction inside the scan is a contiguous
+    dynamic slice either way (DMA bandwidth, not the per-row gather rate).
     """
     N, D = payload.shape
     assert num_rows < (1 << 24), "row index must stay exact in fp32"
@@ -70,12 +74,22 @@ def blocked_scatter_add(
     # worst-case block count: every tile wastes at most one partial block
     num_blocks = N // block + num_tiles
 
-    order = jnp.argsort(idx)
-    # sorted [index | payload] rows: one gather total
-    ext = jnp.concatenate(
-        [idx.astype(jnp.float32)[:, None], payload.astype(jnp.float32)], axis=1
-    )
-    sext = jnp.take(ext, order, axis=0)
+    if reorder == "sortops":
+        pf = payload.astype(jnp.float32)
+        ops = (idx,) + tuple(pf[:, i] for i in range(D))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        sext = jnp.concatenate(
+            [sorted_ops[0].astype(jnp.float32)[:, None]]
+            + [c[:, None] for c in sorted_ops[1:]],
+            axis=1,
+        )
+    else:
+        order = jnp.argsort(idx)
+        # sorted [index | payload] rows: one gather total
+        ext = jnp.concatenate(
+            [idx.astype(jnp.float32)[:, None], payload.astype(jnp.float32)], axis=1
+        )
+        sext = jnp.take(ext, order, axis=0)
     sext = jnp.concatenate([sext, jnp.zeros((block, D + 1), jnp.float32)])
     sidx = sext[:N, 0].astype(jnp.int32)
     tile_of = sidx // tile
