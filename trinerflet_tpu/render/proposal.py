@@ -153,5 +153,5 @@ def interlevel_loss(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     P = w_p.shape[1]
     envelope = jnp.take_along_axis(cw, jnp.clip(hi_idx, 0, P), axis=-1) - \
         jnp.take_along_axis(cw, jnp.clip(lo_idx, 0, P), axis=-1)
-    deficit = jnp.clip(wf - envelope, a_min=0.0)
+    deficit = jnp.clip(wf - envelope, min=0.0)
     return (deficit**2 / jnp.maximum(envelope + wf, 1e-6)).mean()
