@@ -267,6 +267,22 @@ class TestSpreadSampling:
         np.testing.assert_array_equal(np.asarray(mask)[0], [1, 1, 1, 0, 0, 0, 0, 0])
         np.testing.assert_allclose(np.asarray(stride), 1.0)
 
+    def test_first_k_valid_payload_matches_indexed_values(self):
+        """The payload lane must return exactly payload[row, idx] for every
+        selected slot (it rides the same sort + one fused row-take)."""
+        from trinerflet_tpu.ops.raymarch import first_k_valid
+        rng = np.random.default_rng(7)
+        N, K, B = 32, 96, 12
+        valid = jnp.asarray(rng.random((N, K)) < 0.3)
+        payload = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+        i1, m1, s1 = first_k_valid(valid, B, spread=True)
+        i2, m2, s2, pl = first_k_valid(valid, B, spread=True, payload=payload)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        want = np.take_along_axis(np.asarray(payload), np.asarray(i1), axis=1)
+        np.testing.assert_array_equal(np.asarray(pl), want)
+
     def test_dense_grid_samples_span_ray(self):
         """Full occupancy + tiny budget: rendered samples must cover the whole
         [near, far] span with dt scaled to preserve optical depth."""
