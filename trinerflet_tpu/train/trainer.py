@@ -792,8 +792,11 @@ class Trainer:
             * self.render_cfg.occ_thresh_scale
         )
         occ_bits = jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
-        occ = occ._replace(occ=occ_bits, occ_coarse=R._dilate3(occ_bits),
-                           bbox=R._occupied_bbox(occ_bits, self.render_cfg))
+        occ = occ._replace(
+            occ=occ_bits,
+            occ_coarse=R._dilate3(occ_bits,
+                                  self.render_cfg.coarse_dilation_radius),
+            bbox=R._occupied_bbox(occ_bits, self.render_cfg))
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         state = state._replace(
             params=to_dev(payload["params"]),
