@@ -150,8 +150,13 @@ class LaunchMonitor:
                 if f.lower().endswith(_IMG_EXT + _VID_EXT):
                     p = os.path.join(root, f)
                     try:
-                        t = os.path.getmtime(p)
+                        st = os.stat(p)
+                        t = st.st_mtime
                     except OSError:
+                        continue
+                    if st.st_size == 0:
+                        # created but not yet written (writer mid-flight):
+                        # surfacing it would serve an empty body
                         continue
                     if t > best_t:
                         best, best_t = p, t
