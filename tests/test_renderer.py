@@ -561,3 +561,57 @@ class TestGlobalCompaction:
         _, cfg_g = self._cfgs(slots=8)
         ev = cfg_g.for_eval()
         assert ev.compaction == "per_ray"
+
+    def test_global_with_unset_slots_keeps_flat_exact_compaction(self):
+        """compaction='global' WITHOUT global_slots_per_ray predates the
+        hierarchical second stage and means the flat march's exact global
+        compaction (no per-ray budget cap). The hierarchical gate must not
+        swallow it into the dense per-ray budget layout."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=64, max_steps=512,
+                             samples_per_ray_budget=8,  # tiny per-ray cap
+                             density_thresh=0.5, coarse_budget=48,
+                             fine_per_coarse=8, march="hierarchical",
+                             compaction="global")
+        occ = self._occ_from_field(cfg)
+        o, d = camera_rays(16)
+        out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg,
+                               bg_color=0.0, occ_coarse=occ.occ_coarse)
+        # the flat exact path has NO per-ray cap (a single ray may fill the
+        # whole shared N*B buffer); it is recognizable by the absence of the
+        # budget-layout autotune signals the hierarchical path always emits
+        assert "samples_p99" not in out and "global_fill" not in out
+        # center rays cross ~1.0 chord at dt=2*sqrt(3)/512: per-ray demand
+        # ~150 >> budget 8, so the exact path saturates the shared buffer
+        assert int(out["num_samples"]) == 16 * 8
+        assert np.isfinite(np.asarray(out["image"])).all()
+
+
+class TestDepthOutput:
+    def test_depth_is_span_normalized_distance(self):
+        """Depth = (surface t - nears)/span. The pre-fix occgrid path
+        subtracted nears twice (composites already accumulate ts relative to
+        the ray start), zeroing the depth map whenever the surface sat closer
+        than 2*nears — e.g. every blender-style orbit camera."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=64, max_steps=512,
+                             samples_per_ray_budget=64, density_thresh=0.5,
+                             coarse_budget=48, fine_per_coarse=8,
+                             march="hierarchical")
+        occ = R.update_density_grid(
+            R.init_occupancy(cfg), lambda p: analytic_density(p)[0],
+            jax.random.PRNGKey(0), cfg)
+        o, d = camera_rays(64)
+        out = R.render_occgrid(analytic_field, o, d, occ.occ, cfg,
+                               bg_color=0.0, occ_coarse=occ.occ_coarse)
+        xs = np.linspace(-0.9, 0.9, 64)
+        dep = np.asarray(out["depth"])
+        hit = np.abs(xs) < 0.3
+        # camera z=-2, surface z~-0.5, aabb entry z=-1, exit z=+1:
+        # depth ~ (1.5 - 1.0) / 2.0 = 0.25 on the center rays
+        assert (dep[hit] > 0.1).all(), dep[hit]
+        assert (dep[hit] < 0.6).all(), dep[hit]
+        # and the convention matches the dense renderer's normalized depth
+        dcfg = R.RenderConfig(bound=1.0, num_steps=512, upsample_steps=0)
+        dout = R.render_dense(analytic_density, analytic_color, o, d, dcfg,
+                              bg_color=0.0)
+        np.testing.assert_allclose(
+            dep[hit], np.asarray(dout["depth"])[hit], atol=0.05)

@@ -207,6 +207,27 @@ class TestBudgetAutotune:
         state, aux2 = trainer._train_step(state, trainer.scene_to_device(scene))
         assert np.isfinite(float(aux2["loss"]))
 
+    def test_global_fill_signal_reaches_aux(self):
+        """The buffer-saturation retune reads aux['global_fill']; the train
+        step must copy it through from the renderer output (it silently read
+        0.0 forever when the key was missing, making the grow/fallback path
+        dead code)."""
+        import dataclasses
+
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+
+        trainer = tiny_setup(iters=8, budget_autotune=False)
+        trainer.render_cfg = dataclasses.replace(
+            trainer.render_cfg, compaction="global", global_slots_per_ray=4)
+        trainer._build_jits()
+        scene = make_synthetic_scene(num_views=2, H=24, W=24, num_steps=16)
+        state = trainer.init_state()
+        state = trainer._update_grid(state, full=True)
+        state, aux = trainer._train_step(state, trainer.scene_to_device(scene))
+        assert "global_fill" in aux
+        fill = float(aux["global_fill"])
+        assert 0.0 <= fill <= 1.0
+
     def test_autotune_disabled_keeps_budget(self):
         from trinerflet_tpu.data.synthetic import make_synthetic_scene
 

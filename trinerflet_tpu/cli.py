@@ -549,6 +549,12 @@ def run_test(opt):
     # --ckpt latest|best|<path> (reference utils.py:1466-1494)
     if opt.ckpt in ("latest", "best"):
         ckpt_path = os.path.join(opt.workspace, f"{opt.ckpt}_model.pkl")
+        if opt.ckpt == "best" and not os.path.exists(ckpt_path):
+            # reference parity: fall back to latest when no best exists
+            # (best_model.pkl is only tracked when --eval_interval_stages > 0)
+            print("[WARN] no best_model.pkl (best tracking requires "
+                  "--eval_interval_stages > 0); falling back to latest")
+            ckpt_path = os.path.join(opt.workspace, "latest_model.pkl")
     else:
         ckpt_path = opt.ckpt
     state = trainer.load_checkpoint(ckpt_path)

@@ -388,14 +388,18 @@ def first_k_valid(
         idx = jnp.take(sorted_pos.reshape(-1), src)
         return jnp.minimum(idx, K - 1), mask, stride
     # ONE flat row-take serves both the position and the payload: stack the
-    # two sorted lanes channel-last into (N*K, 2) rows (pos as float is exact
-    # for K < 2^24)
+    # two sorted lanes channel-last into (N*K, 2) rows. Positions must ride
+    # in a dtype that represents every 0..K integer exactly — at least f32
+    # (exact for K < 2^24); a bf16/f16 payload dtype would corrupt positions
+    # past 256/2048, so low-precision payloads are promoted for the ride and
+    # cast back after the take.
+    ride = jnp.promote_types(jnp.float32, payload.dtype)
     both = jnp.stack(
-        [sorted_pos.astype(payload.dtype), sorted_pl], axis=-1
+        [sorted_pos.astype(ride), sorted_pl.astype(ride)], axis=-1
     ).reshape(N * K, 2)
     rows = jnp.take(both, src.reshape(-1), axis=0).reshape(N, budget, 2)
     idx = rows[..., 0].astype(jnp.int32)
-    return jnp.minimum(idx, K - 1), mask, stride, rows[..., 1]
+    return jnp.minimum(idx, K - 1), mask, stride, rows[..., 1].astype(payload.dtype)
 
 
 @partial(

@@ -80,8 +80,9 @@ class RenderConfig:
     # down from the live occupied-bbox diagonal (one recompile).
     num_coarse_override: int = 0
     # fine occupancy-test stride: test 1 probe per this many dt-spaced
-    # candidates against the dilated grid and broadcast (conservative
-    # superset validity while stride*dt < cell; see march_hierarchical).
+    # candidates against the exact fine grid and broadcast to the group
+    # (nearest-probe assignment — NOT a conservative superset: occupied-run
+    # endpoints jitter by up to +-stride/2 samples; see march_hierarchical).
     # 1 = exact per-candidate test; 0 = auto (floor(cell/(2*dt)), capped so
     # stride*dt stays under one voxel).
     occ_test_stride: int = 1
@@ -168,6 +169,23 @@ def init_occupancy(cfg: RenderConfig) -> OccupancyState:
         iter_density=jnp.zeros((), jnp.int32),
         bbox=jnp.asarray(cfg.aabb, jnp.float32),
     )
+
+
+def tuned_num_coarse(cfg: RenderConfig, bbox: np.ndarray) -> Optional[int]:
+    """Shared march-span autotune policy: target ``num_coarse_override``
+    sized to the live occupied-bbox diagonal (x1.1 margin, +2 segments,
+    rounded up to 8, floor 8, cap worst-case). Returns None when the current
+    span is already within [0.75*target, target] (no retune needed).
+    One policy for Trainer and SRSystem — they must not drift apart."""
+    diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
+    seg = 2.0 * math.sqrt(3.0) / cfg.max_steps * cfg.fine_per_coarse
+    worst = int(math.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+    target = int(math.ceil(diag * 1.1 / seg)) + 2
+    target = min(worst, max(8, (target + 7) // 8 * 8))
+    cur = cfg.num_coarse_override or worst
+    if target < int(cur * 0.75) or target > cur:
+        return target
+    return None
 
 
 def _occupied_bbox(occ: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
@@ -460,6 +478,10 @@ def render_occgrid(
         cfg.march == "hierarchical"
         and cfg.dt_gamma == 0.0
         and occ_coarse is not None
+        # 'global' with unset slots keeps its original meaning: the flat
+        # march's EXACT global compaction (no per-ray budget cap) — only the
+        # autotuner's slots>0 form rides the hierarchical budget layout
+        and (cfg.compaction != "global" or cfg.global_slots_per_ray > 0)
     )
     if hierarchical:
         F = cfg.fine_per_coarse
@@ -551,7 +573,11 @@ def render_occgrid(
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
-    depth = jnp.clip(depth_raw - nears, min=0.0) / span
+    # every composite path accumulates ts RELATIVE to the (perturbed) ray
+    # start t0 ~= nears, so depth_raw already is the reference's
+    # "depth - nears" (utils.py normalization); subtracting nears again
+    # zeroed the map for any surface closer than 2*nears
+    depth = jnp.clip(depth_raw, min=0.0) / span
     out = {"image": image, "depth": depth, "weights_sum": ws,
            "z_variance": z_var, "num_samples": num_samples}
     if samples_p99 is not None:

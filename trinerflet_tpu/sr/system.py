@@ -145,16 +145,8 @@ class SRSystem:
         if (cfg.march != "hierarchical" or self._march_retunes >= 2
                 or int(state.occ.iter_density) < 6):
             return
-        import math as _m
-
-        bbox = np.asarray(state.occ.bbox)
-        diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
-        seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
-        worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
-        target = int(_m.ceil(diag * 1.1 / seg)) + 2
-        target = min(worst, max(8, (target + 7) // 8 * 8))
-        cur = cfg.num_coarse_override or worst
-        if target < int(cur * 0.75) or target > cur:
+        target = R.tuned_num_coarse(cfg, np.asarray(state.occ.bbox))
+        if target is not None:
             self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
             self.eval_render_cfg = dataclasses.replace(
                 self._base_render_cfg, num_coarse_override=target).for_eval()

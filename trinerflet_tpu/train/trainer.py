@@ -289,14 +289,8 @@ class Trainer:
         import math as _m
 
         if self._march_retunes < 4:
-            bbox = np.asarray(state.occ.bbox)
-            diag = float(np.linalg.norm(bbox[3:] - bbox[:3]))
-            seg = 2.0 * 1.7320508 / cfg.max_steps * cfg.fine_per_coarse
-            worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
-            target = int(_m.ceil(diag * 1.1 / seg)) + 2
-            target = min(worst, max(8, (target + 7) // 8 * 8))
-            cur = cfg.num_coarse_override or worst
-            if target < int(cur * 0.75) or target > cur:
+            target = R.tuned_num_coarse(cfg, np.asarray(state.occ.bbox))
+            if target is not None:
                 self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
                 # eval derives from the CONFIGURED cfg (tuned span, original
                 # budget) so a tuned train budget never shallows test renders
@@ -478,7 +472,7 @@ class Trainer:
             loss = loss + cfg.z_variance_reg * out["z_variance"].mean()
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
-        for k in ("samples_p99", "overflow_frac"):
+        for k in ("samples_p99", "overflow_frac", "global_fill"):
             if k in out:
                 aux[k] = out[k]
         if err_info is not None:

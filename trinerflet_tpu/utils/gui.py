@@ -104,7 +104,9 @@ class NeRFGUI:
         self.state = state
         self.cam = OrbitCamera(W, H, radius, fovy)
         self.train_steps = train_steps
-        self.step = 0
+        # host-side mirror of state.step (one sync at init, none per step);
+        # resumed states keep their grid-update cadence aligned
+        self.step = int(getattr(state, "step", 0))
         self.loss = 0.0  # strict JSON: NaN would break the browser's parse
         self.training = False
         self._stop = False
@@ -188,14 +190,21 @@ class NeRFGUI:
         data = self.trainer.scene_to_device(scene)
         total = max_iters if max_iters is not None else self.trainer.cfg.iters
         self.training = True
+        aux = None
         while self.step < total and not self._stop:
             t0 = time.time()
             for _ in range(min(self.train_steps, total - self.step)):
                 if (self.trainer.cfg.renderer == "occgrid"
-                        and int(self.state.step)
+                        # host-side counter: int(self.state.step) would force
+                        # a device->host sync every iteration of the burst
+                        and self.step
                         % self.trainer.cfg.update_extra_interval == 0):
                     self.state = self.trainer._update_grid(
                         self.state, full=int(self.state.occ.iter_density) < 16)
+                    # same march-span/budget/compaction autotuners headless
+                    # fit applies — without them GUI training pays the
+                    # worst-case span + budget for the whole run
+                    self.trainer._maybe_retune_march(self.state, aux)
                 self.state, aux = self.trainer._train_step(self.state, data)
                 self.step += 1
             self.loss = float(aux["loss"])  # forces completion of the burst
