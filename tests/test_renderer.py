@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -451,6 +453,25 @@ class TestOccBBox:
                              occ_coarse=s.occ_coarse, occ_bbox=s.bbox)
         np.testing.assert_allclose(np.asarray(c["image"]),
                                    np.asarray(a["image"]), atol=5e-3)
+
+    def test_tuned_num_coarse_policy(self):
+        """Shared span-tune policy (Trainer + SRSystem): target follows the
+        bbox diagonal (x1.1 + 2 segments, rounded to 8, capped at worst);
+        None when the current span is already within tolerance."""
+        cfg = R.RenderConfig(bound=1.0, grid_size=32, max_steps=1024,
+                             fine_per_coarse=12, march="hierarchical")
+        worst = int(np.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+        # small pocket: diag ~0.35 -> target well below worst
+        small = np.array([-0.1, -0.1, -0.1, 0.1, 0.1, 0.1], np.float32)
+        tgt = R.tuned_num_coarse(cfg, small)
+        assert tgt is not None and 8 <= tgt < worst and tgt % 8 == 0
+        # already tuned to that value -> no retune
+        cfg2 = dataclasses.replace(cfg, num_coarse_override=tgt)
+        assert R.tuned_num_coarse(cfg2, small) is None
+        # bbox grows back to the full box -> retunes upward, capped at worst
+        full = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+        up = R.tuned_num_coarse(cfg2, full)
+        assert up is not None and up == min(worst, (up + 7) // 8 * 8)
 
     def test_trainer_retune_shrinks_span(self):
         from trinerflet_tpu.data.synthetic import make_synthetic_scene
