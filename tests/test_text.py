@@ -86,3 +86,51 @@ def test_prompt_processor_cache_and_fallbacks(tmp_path):
     assert not empty.available
     with pytest.raises(NotImplementedError):
         empty()
+
+
+def test_tokenizer_parity_vs_transformers(tmp_path):
+    """Golden parity of the tokenizer against transformers.CLIPTokenizer —
+    the exact class that tokenizes for real published SD/CLIP checkpoints —
+    over a full byte-level base vocab with merges, on prompts exercising
+    digits, punctuation runs, underscores, apostrophes, unicode, and
+    truncation (reference pipeline tokenization,
+    threestudio/models/prompt_processors/stable_diffusion_prompt_processor.py)."""
+    transformers = pytest.importorskip("transformers")
+    from transformers.models.clip.tokenization_clip import bytes_to_unicode
+
+    chars = list(bytes_to_unicode().values())
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    for tok in ["th", "the</w>", "ph", "oto</w>", "ca", "cat</w>"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = ["t h", "th e</w>", "p h", "ot o</w>", "c a", "ca t</w>"]
+    vp = str(tmp_path / "vocab.json")
+    mp = str(tmp_path / "merges.txt")
+    with open(vp, "w") as f:
+        json.dump(vocab, f)
+    with open(mp, "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    ours = CLIPTokenizer(vp, mp, max_length=77)
+    theirs = transformers.CLIPTokenizer(vp, mp)
+
+    prompts = [
+        "a photo of the cat",
+        "sks 4k 1234 photo!!!",
+        "foo_bar __init__ a-b--c",
+        "it's the cat's toy, isn't it?",
+        "  spaced\t\tout\n text  ",
+        "emoji \U0001f600 and CJK 猫 mix",
+        "punct...:;()[]{}<>#@$%^&*",
+        "a " * 100,  # truncation to 77
+    ]
+    for p in prompts:
+        got = ours(p)[0].tolist()
+        want = theirs(p, padding="max_length", max_length=77,
+                      truncation=True)["input_ids"]
+        assert got == want, (p, got[:16], want[:16])
