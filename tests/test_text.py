@@ -134,3 +134,58 @@ def test_tokenizer_parity_vs_transformers(tmp_path):
         want = theirs(p, padding="max_length", max_length=77,
                       truncation=True)["input_ids"]
         assert got == want, (p, got[:16], want[:16])
+
+
+def test_text_encode_parity_vs_transformers_cliptextmodel():
+    """Golden parity of text_encode against transformers.CLIPTextModel's
+    last_hidden_state (the [0] the reference pipeline consumes,
+    stable_diffusion_guidance_sr.py encode stage) — same state-dict naming,
+    both gelu variants."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    for act in ("gelu", "quick_gelu"):
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=3,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=16, hidden_act=act)
+        torch.manual_seed(0)
+        model = transformers.CLIPTextModel(hf_cfg).eval()
+
+        tree = {}
+        for name, t in model.state_dict().items():
+            if name.endswith("position_ids"):
+                continue  # buffer, not a parameter
+            node = tree
+            parts = name.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(t.numpy())
+
+        cfg = TextConfig(vocab_size=64, hidden_size=32, num_layers=3,
+                         num_heads=4, intermediate_size=64, max_length=16,
+                         hidden_act=act)
+        toks = np.random.default_rng(0).integers(0, 64, (2, 16)).astype(np.int32)
+        ours = np.asarray(text_encode(tree, cfg, jnp.asarray(toks)))
+        with torch.no_grad():
+            ref = model(torch.from_numpy(toks.astype(np.int64)))
+        np.testing.assert_allclose(
+            ours, ref.last_hidden_state.numpy(), atol=2e-5,
+            err_msg=f"hidden_act={act}")
+
+
+def test_text_config_from_json_trim(tmp_path):
+    """Diffusers SD2-family text encoders ship pre-trimmed (23 layers, used
+    as-is); only an untrimmed 24-layer OpenCLIP tower gets the penultimate
+    trim (round-2 advisor finding)."""
+    base = dict(vocab_size=49408, hidden_size=1024, num_attention_heads=16,
+                intermediate_size=4096, max_position_embeddings=77,
+                hidden_act="gelu")
+    p23 = str(tmp_path / "c23.json")
+    p24 = str(tmp_path / "c24.json")
+    with open(p23, "w") as f:
+        json.dump({**base, "num_hidden_layers": 23}, f)
+    with open(p24, "w") as f:
+        json.dump({**base, "num_hidden_layers": 24}, f)
+    assert TextConfig.from_json(p23).num_layers == 23
+    assert TextConfig.from_json(p24).num_layers == 23
