@@ -54,10 +54,15 @@ def main():
         bound=1.5,
         compute_dtype="bfloat16", plane_dtype="bfloat16",
     )
+    # BENCH_OCC_STRIDE: occupancy-test stride A/B knob (1 exact = default;
+    # 0 auto-derives floor(cell/(2*dt)); unset -> default). Lets the TPU job
+    # queue measure the strided march end-to-end unattended.
+    occ_stride = int(os.environ.get("BENCH_OCC_STRIDE", "1"))
     render_cfg = RenderConfig(
         bound=1.5, grid_size=32 if smoke else 128, density_thresh=10.0,
         max_steps=128 if smoke else 1024,
         samples_per_ray_budget=20, dt_gamma=0.0,
+        occ_test_stride=occ_stride,
     )
     train_cfg = TrainConfig(
         lr=1e-2, iters=10000, num_rays=num_rays, wavelet_regularization=0.4,
@@ -121,6 +126,7 @@ def main():
           f"layout {trainer.render_cfg.compaction}"
           f"(x{trainer.render_cfg.global_slots_per_ray}); "
           f"num_coarse {trainer.render_cfg.num_coarse_override}; "
+          f"occ_stride {trainer.render_cfg.resolved_occ_test_stride()}; "
           f"samples/step {mean_samples:,.0f} "
           f"({mean_samples / num_rays:.1f}/ray); loss {warm_loss:.5f}->{final_loss:.5f}",
           flush=True)
