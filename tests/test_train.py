@@ -93,10 +93,21 @@ class TestEndToEnd:
     def test_ema_eval_and_results_json(self, scene, tmp_path):
         trainer, state, _ = type(self).trained
         trainer.workspace = str(tmp_path)
-        res = trainer.evaluate(state, scene, use_ema=True, tag="results")
+        sd = os.path.join(str(tmp_path), "renders")
+        res = trainer.evaluate(state, scene, use_ema=True, tag="results",
+                               save_dir=sd)
         assert res["PSNR"] > 16.0
         assert 0.0 < res["SSIM"] <= 1.0
         assert os.path.exists(os.path.join(str(tmp_path), "results.json"))
+        # RGB + depth artifact dumps (reference eval, utils.py:1302-1325);
+        # the depth map must carry signal — the pre-fix double-nears
+        # subtraction rendered it all-black on every orbit-camera scene
+        import cv2
+
+        assert os.path.exists(os.path.join(sd, "results_000.png"))
+        dp = os.path.join(sd, "results_000_depth.png")
+        assert os.path.exists(dp)
+        assert cv2.imread(dp).max() > 0
 
     def test_checkpoint_roundtrip(self, scene, tmp_path):
         trainer, state, _ = type(self).trained

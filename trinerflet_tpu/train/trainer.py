@@ -696,11 +696,11 @@ class Trainer:
         # allgathered afterwards (reference DDP eval, utils.py:1270-1289)
         for v in process_view_slice(scene.num_views):
             if hasattr(scene, "rays_o") and getattr(scene, "rays_o", None) is not None:
-                img, _ = self.render_rays(
+                img, dep = self.render_rays(
                     params, state.occ, scene.rays_o[v], scene.rays_d[v], scene.H, scene.W
                 )
             else:
-                img, _ = self.render_image(
+                img, dep = self.render_image(
                     params, state.occ, scene.poses[v], scene.intrinsics, scene.H, scene.W
                 )
             gt = scene.images[v]
@@ -715,6 +715,11 @@ class Trainer:
                 os.makedirs(save_dir, exist_ok=True)
                 bgr = (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8)
                 cv2.imwrite(os.path.join(save_dir, f"{tag}_{v:03d}.png"), bgr)
+                # span-normalized depth map (reference eval RGB+depth dumps,
+                # utils.py:1302-1325)
+                d8 = (np.clip(np.asarray(dep), 0, 1) * 255).astype(np.uint8)
+                cv2.imwrite(
+                    os.path.join(save_dir, f"{tag}_{v:03d}_depth.png"), d8)
         table = allgather_rows(np.asarray(rows, np.float32).reshape(-1, 3),
                                scene.num_views)
         per_image = [{"view": int(r[0]), "PSNR": float(r[1]), "SSIM": float(r[2])}
