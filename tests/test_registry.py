@@ -1,0 +1,119 @@
+"""Geometry/material/background registry (threestudio zoo counterparts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trinerflet_tpu.models.nerf import NeRFConfig, NeRFField
+from trinerflet_tpu.models.registry import (
+    RegistryField, VolumeGridConfig, make_field, sample_volume_grid,
+    init_volume_grid, background_textured, init_textured_bg,
+)
+from trinerflet_tpu.models.triplane import TriplaneConfig
+from trinerflet_tpu.render import renderer as R
+
+CFG = NeRFConfig(
+    triplane=TriplaneConfig(channels=4, resolution=32, wavelet_scale=2),
+    bound=1.0, geo_feat_dim=7, sh_degree=2, hidden_dim=16, hidden_dim_color=16,
+)
+
+
+def test_unknown_names_raise():
+    with pytest.raises(ValueError):
+        RegistryField(CFG, geometry="nope")
+    with pytest.raises(ValueError):
+        RegistryField(CFG, material="nope")
+    with pytest.raises(ValueError):
+        RegistryField(CFG, background="nope")
+
+
+def test_default_triple_is_fused_nerf_field():
+    init, field = make_field(CFG)
+    assert isinstance(field, NeRFField)
+    p = init(jax.random.PRNGKey(0))
+    assert "sigma_net" in p and "color_net" in p
+
+
+def test_volume_grid_trilinear_exact():
+    cfg = VolumeGridConfig(resolution=8, feature_dim=3)
+    params = init_volume_grid(jax.random.PRNGKey(1), cfg)
+    grid = np.asarray(params["grid"])
+    R_ = cfg.resolution
+    # cell-center (= grid node) queries return the node value exactly
+    ii = np.array([[0, 0, 0], [3, 5, 2], [7, 7, 7]])
+    x = (ii / (R_ - 1) - 0.5) * 2.0  # node i -> world coord
+    out = np.asarray(sample_volume_grid(params, jnp.asarray(x, jnp.float32), cfg, 1.0))
+    ref = grid[ii[:, 0], ii[:, 1], ii[:, 2]]
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+    # random points match a manual trilinear blend
+    rng = np.random.default_rng(0)
+    xr = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    q = np.clip((xr * 0.5 + 0.5) * (R_ - 1), 0, R_ - 1 - 1e-6)
+    q0 = np.floor(q).astype(int)
+    f = q - q0
+    ref = np.zeros((64, 4), np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, f[:, 0], 1 - f[:, 0])
+                     * np.where(dy, f[:, 1], 1 - f[:, 1])
+                     * np.where(dz, f[:, 2], 1 - f[:, 2]))
+                ref += w[:, None] * grid[np.minimum(q0[:, 0] + dx, R_ - 1),
+                                         np.minimum(q0[:, 1] + dy, R_ - 1),
+                                         np.minimum(q0[:, 2] + dz, R_ - 1)]
+    out = np.asarray(sample_volume_grid(params, jnp.asarray(xr), cfg, 1.0))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_textured_background_constant_texture():
+    params = init_textured_bg(jax.random.PRNGKey(0), height=8, width=16)
+    params["bg_texture"] = jnp.full((8, 16, 3), 0.5)
+    d = jnp.asarray(np.random.default_rng(0).standard_normal((32, 3)), jnp.float32)
+    out = np.asarray(background_textured(params, d))
+    np.testing.assert_allclose(out, jax.nn.sigmoid(0.5), rtol=1e-5)
+
+
+def test_env_map_background_is_view_dependent():
+    field = RegistryField(CFG, background="neural-environment-map-background")
+    p = field.init_params(jax.random.PRNGKey(2))
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]], jnp.float32)
+    out = np.asarray(field.background(p, d))
+    assert out.shape == (2, 3)
+    assert np.abs(out[0] - out[1]).max() > 1e-6
+
+
+@pytest.mark.parametrize("background", [
+    "solid-color-background", "textured-background"])
+def test_volume_grid_field_trains_through_renderer(background):
+    field = RegistryField(
+        CFG, geometry="volume-grid", material="no-material",
+        background=background,
+        grid_cfg=VolumeGridConfig(resolution=16, feature_dim=7),
+    )
+    params = field.init_params(jax.random.PRNGKey(3))
+    assert "sigma_net" not in params
+
+    rcfg = R.RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                          samples_per_ray_budget=8, dt_gamma=0.0,
+                          march="flat", num_steps=64, bg_radius=2.0)
+    occ = jnp.ones((1, 16, 16, 16), bool)
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (32, 1)), jnp.float32)
+    dd = rng.standard_normal((32, 3)) * 0.1 + np.array([0, 0, 1.0])
+    dd = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0.3, 0.7, (32, 3)), jnp.float32)
+
+    def loss_fn(p):
+        planes = field.build_planes(p)
+        out = R.render_occgrid(
+            lambda x, d: field(p, planes, x, d), o, dd, occ, rcfg,
+            bg_fn=lambda sph, d: field.background(p, d))
+        return jnp.mean((out["image"] - gt) ** 2)
+
+    l0, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l0))
+    assert float(jnp.abs(g["encoder"]["grid"]).max()) > 0
+    p2 = jax.tree.map(lambda a, b: a - 10.0 * b, params, g)
+    l1 = float(loss_fn(p2))
+    assert l1 < float(l0)

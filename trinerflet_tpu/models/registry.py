@@ -1,0 +1,258 @@
+"""threestudio-style named registries: geometry / material / background.
+
+The reference's SR app resolves model components by registered name
+(``threestudio.register``): geometry from
+``super_resolution/threestudio/models/geometry/`` (implicit_volume.py,
+volume_grid.py, implicit_sdf.py, ...), materials from ``models/materials/``
+(neural_radiance_material.py, no_material.py, ...), backgrounds from
+``models/background/`` (solid_color_background.py,
+neural_environment_map_background.py, textured_background.py).
+
+TriNeRFLet's own configs use exactly the triple
+(implicit-volume, neural-radiance-material, solid-color-background) — that
+combination IS :class:`~trinerflet_tpu.models.nerf.NeRFField`, fused for the
+TPU hot path. This module provides the named factory plus TPU-native
+rewrites of the zoo entries a custom system may swap in:
+
+* geometry ``volume-grid``: dense (R, R, R, 1+F) voxel grid, trilinear
+  sampling as ONE flat row-take of packed corner rows (volume_grid.py:31-72).
+* material ``no-material``: features -> sigmoid RGB, no view dependence
+  (no_material.py:14-49).
+* background ``neural-environment-map-background``: SH(view dir) -> MLP ->
+  sigmoid (neural_environment_map_background.py:13-49).
+* background ``textured-background``: learnable equirectangular texture
+  sampled bilinearly by view direction (textured_background.py:12-45).
+* background ``solid-color-background``: constant color
+  (solid_color_background.py:12-39).
+
+Everything is a pure ``(init, apply)`` pair over plain dict pytrees, so any
+combination drops into :func:`render_occgrid`/``render_dense`` via
+:class:`RegistryField`, which duck-types the NeRFField interface
+(build_planes / density / color / __call__ / background).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activation import trunc_exp
+from ..ops.encoders import sh_encode, sh_dim
+from .nerf import NeRFConfig, NeRFField, init_nerf_params, _init_mlp, _mlp
+
+__all__ = [
+    "GEOMETRY_REGISTRY", "MATERIAL_REGISTRY", "BACKGROUND_REGISTRY",
+    "VolumeGridConfig", "RegistryField", "make_field",
+]
+
+
+# ---------------------------------------------------------------- geometry
+
+@dataclasses.dataclass(frozen=True)
+class VolumeGridConfig:
+    """Dense voxel-grid geometry (reference volume_grid.py): a learnable
+    (R, R, R, 1 + F) grid; channel 0 is raw density, the rest are features."""
+    resolution: int = 64
+    feature_dim: int = 15
+    init_scale: float = 0.1
+
+
+def init_volume_grid(rng: jax.Array, cfg: VolumeGridConfig) -> Dict:
+    R, F = cfg.resolution, cfg.feature_dim
+    return {"grid": cfg.init_scale * jax.random.normal(rng, (R, R, R, 1 + F))}
+
+
+def sample_volume_grid(params: Dict, x: jnp.ndarray, cfg: VolumeGridConfig,
+                       bound: float) -> jnp.ndarray:
+    """Trilinear sample at x in [-bound, bound]^3 -> (N, 1+F).
+
+    The 8 corner lookups are packed into ONE flat row-take: corners of cell
+    (i, j, k) are the rows {i, i+1}x{j, j+1}x{k, k+1} of the flattened grid —
+    8 gathers of whole feature rows (the fast ~15 ns/row path, PERF.md), then
+    a dense weighted sum. No advanced multi-index anywhere.
+    """
+    R = cfg.resolution
+    g = params["grid"].reshape(R * R * R, -1)
+    q = (x / bound * 0.5 + 0.5) * (R - 1)
+    q = jnp.clip(q, 0.0, R - 1 - 1e-6)
+    q0 = jnp.floor(q).astype(jnp.int32)
+    f = q - q0
+    out = 0.0
+    for dx in (0, 1):
+        wx = (1 - f[:, 0]) if dx == 0 else f[:, 0]
+        for dy in (0, 1):
+            wy = (1 - f[:, 1]) if dy == 0 else f[:, 1]
+            for dz in (0, 1):
+                wz = (1 - f[:, 2]) if dz == 0 else f[:, 2]
+                idx = ((jnp.minimum(q0[:, 0] + dx, R - 1) * R
+                        + jnp.minimum(q0[:, 1] + dy, R - 1)) * R
+                       + jnp.minimum(q0[:, 2] + dz, R - 1))
+                out = out + jnp.take(g, idx, axis=0) * (wx * wy * wz)[:, None]
+    return out
+
+
+# ---------------------------------------------------------------- materials
+
+def material_no_material(params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray,
+                         dtype) -> jnp.ndarray:
+    """RGB directly from the first 3 feature channels (no_material.py):
+    view-independent sigmoid color; needs geo_feat_dim >= 3."""
+    del params, d, dtype
+    return jax.nn.sigmoid(geo_feat[..., :3].astype(jnp.float32))
+
+
+# -------------------------------------------------------------- backgrounds
+
+def init_env_map_bg(rng: jax.Array, cfg: NeRFConfig) -> Dict:
+    dims = ([sh_dim(cfg.sh_degree)]
+            + [cfg.hidden_dim_bg] * (cfg.num_layers_bg - 1) + [3])
+    return {"env_net": _init_mlp(rng, dims)}
+
+
+def background_env_map(params: Dict, d: jnp.ndarray, cfg: NeRFConfig,
+                       dtype) -> jnp.ndarray:
+    """Direction-conditioned MLP background
+    (neural_environment_map_background.py: dir encoding -> MLP -> sigmoid)."""
+    sh = sh_encode(d, cfg.sh_degree).astype(dtype)
+    return jax.nn.sigmoid(_mlp(params["env_net"], sh, dtype).astype(jnp.float32))
+
+
+def init_textured_bg(rng: jax.Array, height: int = 64, width: int = 128) -> Dict:
+    return {"bg_texture": 0.1 * jax.random.normal(rng, (height, width, 3))}
+
+
+def background_textured(params: Dict, d: jnp.ndarray) -> jnp.ndarray:
+    """Equirectangular learnable texture (textured_background.py): direction
+    -> (theta, phi) -> bilinear texel blend, sigmoid color. The 4 texel
+    lookups ride flat row-takes of the (H*W, 3) texture."""
+    tex = params["bg_texture"]
+    H, W = tex.shape[:2]
+    flat = tex.reshape(H * W, 3)
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    theta = jnp.arccos(jnp.clip(dn[:, 1], -1.0, 1.0))          # [0, pi]
+    phi = jnp.arctan2(dn[:, 0], dn[:, 2]) + jnp.pi             # [0, 2pi]
+    v = jnp.clip(theta / jnp.pi * (H - 1), 0.0, H - 1 - 1e-6)
+    u = jnp.clip(phi / (2 * jnp.pi) * (W - 1), 0.0, W - 1 - 1e-6)
+    v0, u0 = jnp.floor(v).astype(jnp.int32), jnp.floor(u).astype(jnp.int32)
+    fv, fu = v - v0, u - u0
+    out = 0.0
+    for dv in (0, 1):
+        wv = (1 - fv) if dv == 0 else fv
+        for du in (0, 1):
+            wu = (1 - fu) if du == 0 else fu
+            idx = jnp.minimum(v0 + dv, H - 1) * W + jnp.minimum(u0 + du, W - 1)
+            out = out + jnp.take(flat, idx, axis=0) * (wv * wu)[:, None]
+    return jax.nn.sigmoid(out)
+
+
+def background_solid(params: Dict, d: jnp.ndarray, color: float) -> jnp.ndarray:
+    del params
+    return jnp.full((d.shape[0], 3), color, jnp.float32)
+
+
+GEOMETRY_REGISTRY = ("implicit-volume", "volume-grid")
+MATERIAL_REGISTRY = ("neural-radiance-material", "no-material")
+BACKGROUND_REGISTRY = ("solid-color-background",
+                       "neural-environment-map-background",
+                       "textured-background")
+
+
+# ------------------------------------------------------------------- field
+
+class RegistryField:
+    """NeRFField-compatible field assembled from registry names.
+
+    Defaults reproduce NeRFField exactly (same param tree); non-default
+    geometry swaps the spatial encoding, non-default material/background swap
+    the shading/background heads. Renderers only see the duck-typed
+    interface, so any combination runs through render_occgrid/render_dense
+    and the Trainer unchanged.
+    """
+
+    def __init__(self, cfg: NeRFConfig,
+                 geometry: str = "implicit-volume",
+                 material: str = "neural-radiance-material",
+                 background: str = "solid-color-background",
+                 grid_cfg: Optional[VolumeGridConfig] = None,
+                 background_color: float = 0.0):
+        if geometry not in GEOMETRY_REGISTRY:
+            raise ValueError(f"unknown geometry {geometry!r}; have {GEOMETRY_REGISTRY}")
+        if material not in MATERIAL_REGISTRY:
+            raise ValueError(f"unknown material {material!r}; have {MATERIAL_REGISTRY}")
+        if background not in BACKGROUND_REGISTRY:
+            raise ValueError(f"unknown background {background!r}; have {BACKGROUND_REGISTRY}")
+        self.cfg = cfg
+        self.geometry = geometry
+        self.material = material
+        self.bg_kind = background
+        self.background_color = background_color
+        self.grid_cfg = grid_cfg or VolumeGridConfig(feature_dim=cfg.geo_feat_dim)
+        self._inner = NeRFField(cfg)
+        self.dtype = self._inner.dtype
+
+    # -- params
+    def init_params(self, rng: jax.Array) -> Dict:
+        k_nerf, k_geo, k_bg = jax.random.split(rng, 3)
+        params = init_nerf_params(k_nerf, self.cfg)
+        if self.geometry == "volume-grid":
+            params["encoder"] = init_volume_grid(k_geo, self.grid_cfg)
+            # sigma net consumes the grid's features directly: channel 0 is
+            # raw density, so the MLP stack is bypassed (volume_grid.py has
+            # no decoder net either)
+            params.pop("sigma_net")
+        if self.bg_kind == "neural-environment-map-background":
+            params.update(init_env_map_bg(k_bg, self.cfg))
+        elif self.bg_kind == "textured-background":
+            params.update(init_textured_bg(k_bg))
+        return params
+
+    # -- NeRFField interface
+    def build_planes(self, params: Dict, max_resolution: int = -1) -> Dict:
+        if self.geometry == "volume-grid":
+            return {}
+        return self._inner.build_planes(params, max_resolution)
+
+    def density(self, params: Dict, planes: Dict, x: jnp.ndarray,
+                resolution_mode: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.geometry == "volume-grid":
+            feats = sample_volume_grid(params["encoder"], x, self.grid_cfg,
+                                       self.cfg.bound)
+            sigma = trunc_exp(self._inner._density_blob(x, feats[..., 0]))
+            return sigma, feats[..., 1:]
+        return self._inner.density(params, planes, x, resolution_mode)
+
+    def color(self, params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray) -> jnp.ndarray:
+        if self.material == "no-material":
+            return material_no_material(params, d, geo_feat, self.dtype)
+        return self._inner.color(params, d, geo_feat)
+
+    def __call__(self, params: Dict, planes: Dict, x: jnp.ndarray, d: jnp.ndarray,
+                 resolution_mode: str = "full"):
+        sigma, geo = self.density(params, planes, x, resolution_mode)
+        return sigma, self.color(params, d, geo)
+
+    def background(self, params: Dict, d: jnp.ndarray) -> jnp.ndarray:
+        if self.bg_kind == "neural-environment-map-background":
+            return background_env_map(params, d, self.cfg, self.dtype)
+        if self.bg_kind == "textured-background":
+            return background_textured(params, d)
+        return background_solid(params, d, self.background_color)
+
+
+def make_field(cfg: NeRFConfig,
+               geometry: str = "implicit-volume",
+               material: str = "neural-radiance-material",
+               background: str = "solid-color-background",
+               **kw) -> Tuple[Callable[[jax.Array], Dict], object]:
+    """Resolve registry names -> (init_fn, field). The TriNeRFLet default
+    triple returns the fused NeRFField fast path unchanged."""
+    if (geometry, material, background) == (
+        "implicit-volume", "neural-radiance-material", "solid-color-background"
+    ):
+        field = NeRFField(cfg)
+        return (lambda rng: init_nerf_params(rng, cfg)), field
+    field = RegistryField(cfg, geometry, material, background, **kw)
+    return field.init_params, field
