@@ -54,10 +54,11 @@ def main():
         bound=1.5,
         compute_dtype="bfloat16", plane_dtype="bfloat16",
     )
-    # BENCH_OCC_STRIDE: occupancy-test stride A/B knob (1 exact = default;
-    # 0 auto-derives floor(cell/(2*dt)); unset -> default). Lets the TPU job
-    # queue measure the strided march end-to-end unattended.
-    occ_stride = int(os.environ.get("BENCH_OCC_STRIDE", "1"))
+    # BENCH_OCC_STRIDE: occupancy-test stride A/B knob (0 auto = default,
+    # matching RenderConfig now that the hard-scene quality gate passed;
+    # 1 forces the exact per-candidate test). Lets the TPU job queue
+    # measure either march end-to-end unattended.
+    occ_stride = int(os.environ.get("BENCH_OCC_STRIDE", "0"))
     render_cfg = RenderConfig(
         bound=1.5, grid_size=32 if smoke else 128, density_thresh=10.0,
         max_steps=128 if smoke else 1024,

@@ -84,8 +84,12 @@ class RenderConfig:
     # (nearest-probe assignment — NOT a conservative superset: occupied-run
     # endpoints jitter by up to +-stride/2 samples; see march_hierarchical).
     # 1 = exact per-candidate test; 0 = auto (floor(cell/(2*dt)), capped so
-    # stride*dt stays under one voxel).
-    occ_test_stride: int = 1
+    # stride*dt stays under one voxel). Auto is the default: the hard-scene
+    # training A/B (scripts/quality_stride_ab.py, BENCH_notes
+    # r3_occ_stride_quality_ab) measured +0.51 dB at 0.74x wall vs exact;
+    # for_eval() always forces the exact test so reported metrics never
+    # depend on probe placement.
+    occ_test_stride: int = 0
 
     def resolved_occ_test_stride(self) -> int:
         if self.occ_test_stride != 0:
@@ -128,16 +132,19 @@ class RenderConfig:
         if self.eval_samples_per_ray <= 0 or (
             self.eval_samples_per_ray == self.samples_per_ray_budget
         ):
-            # eval always uses the exact dense layout: a tail-dropping shared
-            # buffer must never truncate reported metrics
-            if self.compaction == "global":
-                return dataclasses.replace(self, compaction="per_ray")
+            # eval always uses the exact dense layout and the exact (stride-1)
+            # fine occupancy test: a tail-dropping shared buffer or jittered
+            # occupied-run endpoints must never touch reported metrics
+            if self.compaction == "global" or self.resolved_occ_test_stride() != 1:
+                return dataclasses.replace(
+                    self, compaction="per_ray", occ_test_stride=1)
             return self
         e = self.eval_samples_per_ray
         return dataclasses.replace(
             self,
             samples_per_ray_budget=e,
             compaction="per_ray",
+            occ_test_stride=1,
             coarse_budget=max(self.coarse_budget, -(-e // self.fine_per_coarse) + 2),
         )
 
