@@ -118,6 +118,26 @@ def _mip_level(pts: jnp.ndarray, dt: jnp.ndarray, grid_size: int, cascades: int)
     return jnp.clip(lvl, 0, cascades - 1).astype(jnp.int32)
 
 
+def occupancy_lookup(
+    grid_bool: jnp.ndarray,   # (CAS, H, H, H) or (CAS, H^3) bool
+    pts: jnp.ndarray,         # (..., 3) world points
+    dts: jnp.ndarray,         # (...) step size per point (mip selection)
+    *,
+    grid_size: int,
+    cascades: int,
+    bound: float,
+) -> jnp.ndarray:
+    """Occupancy-grid test at arbitrary points — the exact cell-addressing
+    law the march uses (raymarching.cu:43-55 mip selection + voxel quantize).
+    One flat row gather; returns bool of pts' leading shape."""
+    lvl = _mip_level(pts, dts, grid_size, cascades)
+    mip_bound = jnp.minimum(jnp.exp2(lvl.astype(pts.dtype)), bound)
+    q = 0.5 * (pts / mip_bound[..., None] + 1.0) * grid_size
+    q = jnp.clip(q, 0.0, grid_size - 1).astype(jnp.int32)
+    flat = ((lvl * grid_size + q[..., 0]) * grid_size + q[..., 1]) * grid_size + q[..., 2]
+    return jnp.take(grid_bool.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+
+
 @partial(jax.jit, static_argnames=("num_steps", "max_steps", "grid_size", "cascades", "bound", "dt_gamma"))
 def march_candidates(
     rays_o: jnp.ndarray,
@@ -452,12 +472,8 @@ def march_hierarchical(
     t0 = nears + dt * noise
 
     def occ_lookup(grid_bool, pts, dts):
-        lvl = _mip_level(pts, dts, grid_size, cascades)
-        mip_bound = jnp.minimum(jnp.exp2(lvl.astype(pts.dtype)), bound)
-        q = 0.5 * (pts / mip_bound[..., None] + 1.0) * grid_size
-        q = jnp.clip(q, 0.0, grid_size - 1).astype(jnp.int32)
-        flat = ((lvl * grid_size + q[..., 0]) * grid_size + q[..., 1]) * grid_size + q[..., 2]
-        return jnp.take(grid_bool.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+        return occupancy_lookup(grid_bool, pts, dts, grid_size=grid_size,
+                                cascades=cascades, bound=bound)
 
     # ---- level 1: coarse segments
     kc = jnp.arange(num_coarse, dtype=rays_o.dtype)

@@ -90,6 +90,13 @@ class RenderConfig:
     # for_eval() always forces the exact test so reported metrics never
     # depend on probe placement.
     occ_test_stride: int = 0
+    # Diagnostic (quality protocol check 1): zero sigma at dense-path samples
+    # whose occupancy cell is off. An occgrid-trained field is unsupervised
+    # in unoccupied space, so the plain dense integral picks up free-space
+    # garbage the march never touches; masking isolates that term from true
+    # render-path differences. Requires the caller to pass `occ` to
+    # render_dense. Never used in training or reported metrics.
+    occ_mask_dense: bool = False
 
     def resolved_occ_test_stride(self) -> int:
         if self.occ_test_stride != 0:
@@ -369,6 +376,7 @@ def render_dense(
     bg_color=None,
     bg_fn=None,
     perturb: bool = False,
+    occ: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Uniform-z + optional importance-sampled volume rendering (renderer.py:126-254)."""
     N = rays_o.shape[0]
@@ -427,6 +435,11 @@ def render_dense(
 
     deltas = jnp.diff(z_vals, axis=-1)
     deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
+    if cfg.occ_mask_dense and occ is not None:
+        occ_ok = RM.occupancy_lookup(
+            occ, xyzs, jnp.broadcast_to(sample_dist, (N, T)),
+            grid_size=cfg.grid_size, cascades=cfg.cascades, bound=cfg.bound)
+        sigmas = jnp.where(occ_ok, sigmas, 0.0)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, T, 3))
     rgbs = color_fn(dirs.reshape(-1, 3), geos).reshape(N, T, 3)
 

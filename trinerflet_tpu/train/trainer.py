@@ -563,6 +563,7 @@ class Trainer:
             lambda x: self.field.density(params, planes, x),
             lambda d, g: self.field.color(params, d, g),
             rays_o, rays_d, rcfg, bg_color=bg_color, perturb=False,
+            occ=occ.occ,
         )
 
     def render_rays(self, params, occ, rays_o, rays_d, H, W, bg_color=None):
