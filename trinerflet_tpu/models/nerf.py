@@ -156,7 +156,21 @@ class NeRFField:
     def build_planes(self, params: Dict, max_resolution: int = -1) -> Dict[str, jnp.ndarray]:
         if self.cfg.encoding != "triplane_wavelet":
             return {}
-        planes = build_planes(params["encoder"], self.cfg.triplane, max_resolution)
+        enc = params["encoder"]
+        if self.cfg.plane_dtype == "bfloat16":
+            # Cast the pyramid coefficients to bf16 BEFORE the IDWT ladder so
+            # the synthesis matmuls (fwd AND transpose/bwd) run at bf16 MXU
+            # rates with f32 accumulation — the f32 ladder costs 23.6 ms
+            # fwd+bwd at bench scale vs 6.8 bf16 (PERF.md), and the planes
+            # are rounded to bf16 right after anyway. Master params stay f32
+            # (the astype's autodiff upcasts the grads back for Adam).
+            # Rotation/lbound-zoom scalars are not touched (not used here).
+            enc = {
+                k: (jax.tree.map(lambda a: a.astype(jnp.bfloat16), v)
+                    if k in ("base", "wavelets", "upscale") else v)
+                for k, v in enc.items()
+            }
+        planes = build_planes(enc, self.cfg.triplane, max_resolution)
         if self.cfg.plane_dtype == "bfloat16":
             planes = {k: v.astype(jnp.bfloat16) for k, v in planes.items()}
         return planes

@@ -388,13 +388,20 @@ def _synthesis_operator(n: int, name: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def _apply_operator(x: jnp.ndarray, A: np.ndarray, axis: int) -> jnp.ndarray:
     """Contract a (B, C, H, W) tensor with an (n, n_out) operator along H or W
-    with f32 accumulation on the MXU (bf16 inputs stay bf16)."""
-    op = jnp.asarray(A, x.dtype)
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    with f32 accumulation on the MXU (bf16 inputs stay bf16 on TPU; the CPU
+    thunk runtime rejects bf16 dots, so the 8-device virtual-mesh/test path
+    computes in f32 and rounds back per level — same rounding points)."""
+    dtype = x.dtype
+    compute = dtype
+    if dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        compute = jnp.float32
+    op = jnp.asarray(A, compute)
+    prec = (jax.lax.Precision.HIGHEST if compute == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     eq = "bchw,hk->bckw" if axis == 0 else "bchw,wk->bchk"
-    out = jnp.einsum(eq, x, op, precision=prec,
+    out = jnp.einsum(eq, x.astype(compute), op, precision=prec,
                      preferred_element_type=jnp.float32)
-    return out.astype(x.dtype)
+    return out.astype(dtype)
 
 
 # "matmul": banded operators on the MXU (fast path, any size);
