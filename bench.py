@@ -101,26 +101,30 @@ def main():
     # (block_until_ready on donated-state outputs returns early through the
     #  axon relay; always force with a host transfer when timing)
 
-    # 3 timed windows -> mean +/- std across repeats (run-to-run spread was
-    # invisible in rounds 1-2; a +/-10% spread matters at this precision)
+    # 5 timed windows -> MEDIAN across repeats. Round 3's official number was
+    # dragged 27% below the true steady state by a single 347 ms window (an
+    # axon-relay stall; the other two windows agreed to 0.3 ms) — the median
+    # of 5 is robust to two such stalls. After 320 warm steps iter_density is
+    # far past the full-refresh threshold, so the timed loop pins full=False
+    # instead of re-reading it (that int() is a per-16-step host sync — one
+    # relay hiccup there stalls the whole window).
     steps = 10 if smoke else 50
-    repeats = 1 if smoke else 3
+    repeats = 1 if smoke else 5
     window_ms = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for i in range(steps):
             if i % train_cfg.update_extra_interval == 0:
-                state = trainer._update_grid(
-                    state, full=int(state.occ.iter_density) < 16)
+                state = trainer._update_grid(state, full=False)
             state, aux = trainer._train_step(state, data)
         final_loss = float(aux["loss"])
         window_ms.append((time.perf_counter() - t0) / steps * 1e3)
 
-    ms = float(np.mean(window_ms))
+    ms = float(np.median(window_ms))
     ms_std = float(np.std(window_ms))
     rays_per_sec = num_rays / ms * 1e3
     mean_samples = float(aux["num_samples"])
-    print(f"# devices {n_dev}; step time {ms:.2f} +/- {ms_std:.2f} ms "
+    print(f"# devices {n_dev}; step time {ms:.2f} (median; std {ms_std:.2f}) ms "
           f"(windows: {[round(w, 1) for w in window_ms]}); "
           f"budget {trainer.render_cfg.samples_per_ray_budget}"
           f"/{trainer._budget_max}; "

@@ -390,12 +390,22 @@ def _apply_operator(x: jnp.ndarray, A: np.ndarray, axis: int) -> jnp.ndarray:
     """Contract a (B, C, H, W) tensor with an (n, n_out) operator along H or W
     with f32 accumulation on the MXU (bf16 inputs stay bf16 on TPU; the CPU
     thunk runtime rejects bf16 dots, so the 8-device virtual-mesh/test path
-    computes in f32 and rounds back per level — same rounding points)."""
+    computes in f32 and rounds back per level — with the operator quantized
+    to bf16 FIRST, so both backends multiply the same rounded coefficients).
+
+    Backend note: the fallback keys off ``jax.default_backend()`` at trace
+    time, which matches this repo's two execution modes (TPU process / the
+    conftest-forced CPU mesh). A bf16 ladder explicitly device_put onto CPU
+    from a TPU-default process would still trace a bf16 dot and be rejected
+    by the CPU runtime — acceptable here; key off the in-scope mesh if that
+    mixed mode ever becomes real."""
     dtype = x.dtype
     compute = dtype
     if dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
         compute = jnp.float32
-    op = jnp.asarray(A, compute)
+    # quantize the operator at the same point on every backend (bf16 planes
+    # -> bf16 operator entries), then upcast to the compute dtype
+    op = jnp.asarray(A, dtype).astype(compute)
     prec = (jax.lax.Precision.HIGHEST if compute == jnp.float32
             else jax.lax.Precision.DEFAULT)
     eq = "bchw,hk->bckw" if axis == 0 else "bchw,wk->bchk"
