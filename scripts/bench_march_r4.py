@@ -63,36 +63,71 @@ grid = R.mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
 state = trainer.init_state(density_grid=grid)
 data = trainer.scene_to_device(scene)
 
-print("warming 320 steps (matching bench.py)...", flush=True)
-aux = None
-for i in range(320):
-    if i % train_cfg.update_extra_interval == 0:
-        state = trainer._update_grid(state, full=int(state.occ.iter_density) < 16)
-        trainer._maybe_retune_march(state, aux)
-    state, aux = trainer._train_step(state, data)
-print(f"warm loss {float(aux['loss']):.5f}", flush=True)
+def report(tag, state, aux):
+    cfg = trainer.render_cfg
+    bbox = np.asarray(state.occ.bbox)
+    occ_, occ_coarse_ = state.occ.occ, state.occ.occ_coarse
+    print(f"[{tag}] cfg: budget {cfg.samples_per_ray_budget}, "
+          f"compaction {cfg.compaction}(x{cfg.global_slots_per_ray}), "
+          f"num_coarse_override {cfg.num_coarse_override}, "
+          f"stride {cfg.resolved_occ_test_stride()}", flush=True)
+    print(f"[{tag}] occ bbox {bbox.round(3)}  diag "
+          f"{np.linalg.norm(bbox[3:]-bbox[:3]):.3f}  fill fine "
+          f"{float(occ_.mean()):.4f} coarse {float(occ_coarse_.mean()):.4f}  "
+          f"tuned_nc {R.tuned_num_coarse(cfg, bbox)}", flush=True)
+    print(f"[{tag}] samples/ray mean {float(aux['num_samples'])/N:.2f}  "
+          f"p99 {float(aux['samples_p99']):.2f}  "
+          f"overflow {float(aux['overflow_frac']):.4f}  "
+          f"loss {float(aux['loss']):.5f}", flush=True)
 
+
+def run_steps(state, n, aux=None):
+    for i in range(n):
+        if i % train_cfg.update_extra_interval == 0:
+            state = trainer._update_grid(state, full=int(state.occ.iter_density) < 16)
+            trainer._maybe_retune_march(state, aux)
+        state, aux = trainer._train_step(state, data)
+    return state, aux
+
+
+def time_step(state, steps=30):
+    """Time the live train step, threading the donated state."""
+    state, aux = trainer._train_step(state, data)  # ensure compiled
+    _ = float(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = trainer._train_step(state, data)
+    _ = float(aux["loss"])
+    return (time.perf_counter() - t0) / steps * 1e3, state
+
+
+print("warming 320 steps (matching bench.py)...", flush=True)
+state, aux = run_steps(state, 320)
+report("warm320", state, aux)
+ms, state = time_step(state)
+print(f"[warm320] full train step: {ms:7.1f} ms  "
+      f"({N/ms*1e3/1e3:.1f}k rays/s)", flush=True)
+
+# capture the 320-step occupancy for the phase decomposition below
 cfg = trainer.render_cfg
 bbox = np.asarray(state.occ.bbox)
 occ = state.occ.occ
 occ_coarse = state.occ.occ_coarse
-print(f"post-warm cfg: budget {cfg.samples_per_ray_budget}, "
-      f"compaction {cfg.compaction}(x{cfg.global_slots_per_ray}), "
-      f"num_coarse_override {cfg.num_coarse_override}, "
-      f"stride {cfg.resolved_occ_test_stride()}", flush=True)
-print(f"occ bbox {bbox.round(3)}  diag {np.linalg.norm(bbox[3:]-bbox[:3]):.3f}",
-      flush=True)
-print(f"occ fill: fine {float(occ.mean()):.4f}  coarse(dilated) "
-      f"{float(occ_coarse.mean()):.4f}  per-cascade fine "
-      f"{[round(float(occ[c].mean()), 4) for c in range(occ.shape[0])]}", flush=True)
-print(f"tuned_num_coarse says: {R.tuned_num_coarse(cfg, bbox)}", flush=True)
-print(f"live samples/ray mean {float(aux['num_samples'])/N:.2f}  "
-      f"p99 {float(aux['samples_p99']):.2f}  overflow {float(aux['overflow_frac']):.4f}",
-      flush=True)
 
-# ---- full step / full march timings ----------------------------------------
-step_ms = timeit(lambda s: trainer._train_step(s, data)[0], state, reps=20)
-print(f"\nfull train step                    : {step_ms:7.1f} ms", flush=True)
+# does longer warmup reach a sparser steady state? (training spends ~97% of
+# its 10k iters past step 640 — if occupancy keeps shrinking, the 320-step
+# bench window under-reports the true steady-state throughput)
+# MARCH_R4_FAST=1 skips these (already measured: 190.3 ms flat at 640/1280 —
+# the step cost is dominated by static-shape work, not occupancy content)
+import os
+if os.environ.get("MARCH_R4_FAST") != "1":
+    for upto in (640, 1280, 2560):
+        state, aux = run_steps(state, upto - (320 if upto == 640 else upto // 2),
+                               aux)
+        report(f"warm{upto}", state, aux)
+        ms, state = time_step(state)
+        print(f"[warm{upto}] full train step: {ms:7.1f} ms  "
+              f"({N/ms*1e3/1e3:.1f}k rays/s)", flush=True)
 
 F = cfg.fine_per_coarse
 BC = cfg.coarse_budget
@@ -106,8 +141,8 @@ NC0 = cfg.num_coarse_override or int(math.ceil(BOUND * MAXS / F))
 
 # a real ray batch (same sampler as the step)
 from trinerflet_tpu.data.rays import sample_ray_batch
-rays_o, rays_d, _, _ = sample_ray_batch(
-    jax.random.PRNGKey(7), data.poses, data.intrinsics, data.images, N)
+rays_o, rays_d, _ = sample_ray_batch(
+    jax.random.PRNGKey(7), data["images"], data["poses"], data["intrinsics"], N)[:3]
 aabb = jnp.asarray(state.occ.bbox)
 nears, fars = RM.near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
 hit = nears < 1e30

@@ -47,33 +47,53 @@ __all__ = [
 
 
 class DiffusionSchedule:
-    """DDPM noise schedule (diffusers DDIMScheduler defaults for the
-    x4-upscaler: scaled_linear betas in [0.0001, 0.02], 1000 steps)."""
+    """DDPM/DDIM noise schedule matching diffusers 0.16 (the version the
+    reference pins, requirements.txt:7) with the published x4-upscaler
+    scheduler config: scaled_linear betas in [0.0001, 0.02], 1000 train
+    steps, ``steps_offset=1``, ``set_alpha_to_one=false`` (so the final DDIM
+    step targets ``alphas_cumprod[0]``, not exactly 1). Golden-pinned against
+    hand-transcribed diffusers-0.16 constants in
+    tests/test_diffusion_schedule.py so a real checkpoint drop-in cannot be
+    silently wrong (reference loader: stable_diffusion_guidance_sr.py:94-97,
+    149-158)."""
 
     def __init__(self, num_train_timesteps: int = 1000,
-                 beta_start: float = 0.0001, beta_end: float = 0.02):
+                 beta_start: float = 0.0001, beta_end: float = 0.02,
+                 steps_offset: int = 1, set_alpha_to_one: bool = False):
         self.num_train_timesteps = num_train_timesteps
+        self.steps_offset = steps_offset
         betas = (
             jnp.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps) ** 2
         )
         self.betas = betas
         self.alphas = 1.0 - betas
         self.alphas_cumprod = jnp.cumprod(self.alphas)
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32) if set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
 
     def add_noise(self, x: jnp.ndarray, noise: jnp.ndarray, t) -> jnp.ndarray:
         a = self.alphas_cumprod[t]
         return jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * noise
 
     def ddim_timesteps(self, num_inference_steps: int) -> jnp.ndarray:
-        """Descending timestep ladder (diffusers 'leading' spacing)."""
+        """Descending timestep ladder — diffusers 0.16 'leading' spacing plus
+        the config's ``steps_offset`` (scheduling_ddim.py set_timesteps)."""
         step = self.num_train_timesteps // num_inference_steps
         ts = (jnp.arange(num_inference_steps) * step).round().astype(jnp.int32)
-        return ts[::-1]
+        return ts[::-1] + self.steps_offset
 
     def ddim_step(self, eps, t: int, t_prev: int, x):
-        """Deterministic (eta=0) DDIM update. Returns (x_prev, pred_x0)."""
+        """Deterministic (eta=0) DDIM update. ``t_prev < 0`` selects the
+        final alpha (diffusers' ``prev_timestep < 0`` branch). Returns
+        (x_prev, pred_x0)."""
         a_t = self.alphas_cumprod[t]
-        a_prev = jnp.where(t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+        a_prev = jnp.where(
+            t_prev >= 0,
+            self.alphas_cumprod[jnp.maximum(t_prev, 0)],
+            self.final_alpha_cumprod,
+        )
         pred_x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
         dir_x = jnp.sqrt(1.0 - a_prev) * eps
         return jnp.sqrt(a_prev) * pred_x0 + dir_x, pred_x0
