@@ -117,3 +117,129 @@ def test_volume_grid_field_trains_through_renderer(background):
     p2 = jax.tree.map(lambda a, b: a - 10.0 * b, params, g)
     l1 = float(loss_fn(p2))
     assert l1 < float(l0)
+
+
+# ---------------------------------------------------------------------------
+# Geometry normals (reference implicit_volume.py:48-51, :141-218)
+# ---------------------------------------------------------------------------
+
+
+class TestNormals:
+    def _field(self, normal_type, **kw):
+        return RegistryField(CFG, material="diffuse-with-point-light-material",
+                             normal_type=normal_type, **kw)
+
+    def test_fd_and_analytic_agree_on_smooth_field(self):
+        """VERDICT done-criterion: finite-difference and analytic normals
+        agree where the field is smooth. The triplane is piecewise-BILINEAR
+        (texel cell = 2/(res-1)), so the comparison samples near cell centers
+        with eps small enough that the forward difference never crosses a
+        texel boundary — there the FD slope equals the exact-sampler gradient
+        up to the MLP's (rare) ReLU kinks."""
+        cell = 2.0 / (CFG.triplane.resolution - 1)
+        fd = self._field("finite_difference", fd_normal_eps=0.05 * cell)
+        an = self._field("analytic")
+        params = fd.init_params(jax.random.PRNGKey(0))
+        # non-trivial encoder: random base plane
+        params["encoder"]["base"] = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(1), params["encoder"]["base"].shape)
+        planes = fd.build_planes(params)
+        rng = np.random.default_rng(2)
+        centers = (rng.integers(5, CFG.triplane.resolution - 5, (256, 3))
+                   + 0.5) * cell - 1.0
+        x = jnp.asarray(
+            centers + rng.uniform(-0.2, 0.2, (256, 3)) * cell, jnp.float32)
+        n_fd = np.asarray(fd.normal(params, planes, x))
+        n_an = np.asarray(an.normal(params, planes, x))
+        cos = (n_fd * n_an).sum(-1)
+        assert np.quantile(cos, 0.1) > 0.95, np.sort(cos)[:10]
+        assert np.median(cos) > 0.99
+        np.testing.assert_allclose(np.linalg.norm(n_an, axis=-1), 1.0, atol=1e-4)
+
+    def test_laplacian_stencil_matches_fd_on_smooth_field(self):
+        fd = self._field("finite_difference", fd_normal_eps=0.02)
+        lp = self._field("finite_difference_laplacian", fd_normal_eps=0.02)
+        params = fd.init_params(jax.random.PRNGKey(0))
+        params["encoder"]["base"] = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(1), params["encoder"]["base"].shape)
+        planes = fd.build_planes(params)
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(-0.7, 0.7, (128, 3)), jnp.float32)
+        cos = (np.asarray(fd.normal(params, planes, x))
+               * np.asarray(lp.normal(params, planes, x))).sum(-1)
+        assert np.median(cos) > 0.95
+
+    def test_pred_normals_shape_and_unit_norm(self):
+        f = self._field("pred")
+        params = f.init_params(jax.random.PRNGKey(0))
+        assert "normal_net" in params
+        planes = f.build_planes(params)
+        x = jnp.zeros((16, 3))
+        n = np.asarray(f.normal(params, planes, x))
+        assert n.shape == (16, 3)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+    def test_analytic_normal_on_volume_grid(self):
+        """volume-grid geometry: FD normals point away from a density bump."""
+        f = RegistryField(CFG, geometry="volume-grid",
+                          material="diffuse-with-point-light-material",
+                          normal_type="finite_difference", fd_normal_eps=0.05)
+        params = f.init_params(jax.random.PRNGKey(0))
+        R_ = f.grid_cfg.resolution
+        # radial density bump at the origin -> normals ~ +x_hat direction
+        idx = np.stack(np.meshgrid(*[np.arange(R_)] * 3, indexing="ij"), -1)
+        world = idx / (R_ - 1) * 2 - 1
+        dens = 5.0 * np.exp(-(world**2).sum(-1) / 0.3)
+        grid = np.array(params["encoder"]["grid"])
+        grid[..., 0] = dens
+        params["encoder"]["grid"] = jnp.asarray(grid)
+        x = jnp.asarray([[0.5, 0.0, 0.0], [0.0, -0.5, 0.0]], jnp.float32)
+        n = np.asarray(f.normal(params, {}, x))
+        assert n[0, 0] > 0.9    # outward +x
+        assert n[1, 1] < -0.9   # outward -y
+
+
+class TestDiffuseMaterial:
+    def test_shading_modes(self):
+        from trinerflet_tpu.models.registry import material_diffuse_point_light
+
+        feats = jnp.asarray([[2.0, 0.0, -2.0, 0.5]])
+        x = jnp.asarray([[0.0, 0.0, 0.0]])
+        n = jnp.asarray([[1.0, 0.0, 0.0]])
+        light = jnp.asarray([2.0, 0.0, 0.0])  # straight along the normal
+        albedo = np.asarray(material_diffuse_point_light(
+            feats, x, n, light, shading="albedo"))
+        np.testing.assert_allclose(
+            albedo[0], [1 / (1 + np.exp(-2)), 0.5, 1 / (1 + np.exp(2))],
+            rtol=1e-5)
+        tex = np.asarray(material_diffuse_point_light(
+            feats, x, n, light, shading="textureless"))
+        np.testing.assert_allclose(tex[0], 0.9 + 0.1, rtol=1e-5)  # lambert=1
+        dif = np.asarray(material_diffuse_point_light(
+            feats, x, n, light, shading="diffuse"))
+        np.testing.assert_allclose(dif[0], albedo[0] * 1.0, rtol=1e-5)
+        # light orthogonal to the normal -> ambient only
+        side = np.asarray(material_diffuse_point_light(
+            feats, x, n, jnp.asarray([0.0, 2.0, 0.0]), shading="textureless"))
+        np.testing.assert_allclose(side[0], 0.1, rtol=1e-5)
+
+    def test_diffuse_field_renders_through_occgrid(self):
+        f = RegistryField(CFG, material="diffuse-with-point-light-material",
+                          normal_type="finite_difference")
+        params = f.init_params(jax.random.PRNGKey(0))
+        planes = f.build_planes(params)
+        rcfg = R.RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                              samples_per_ray_budget=8)
+        occ = jnp.ones((1, 16, 16, 16), bool)
+        o = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (16, 1)), jnp.float32)
+        d = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (16, 1)), jnp.float32)
+        out = R.render_occgrid(lambda x, dd: f(params, planes, x, dd),
+                               o, d, occ, rcfg, bg_color=0.0)
+        img = np.asarray(out["image"])
+        assert img.shape == (16, 3) and np.isfinite(img).all()
+
+    def test_color_without_positions_raises(self):
+        f = RegistryField(CFG, material="diffuse-with-point-light-material")
+        params = f.init_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="positions"):
+            f.color(params, jnp.zeros((4, 3)), jnp.zeros((4, CFG.geo_feat_dim)))

@@ -104,6 +104,37 @@ def material_no_material(params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray,
     return jax.nn.sigmoid(geo_feat[..., :3].astype(jnp.float32))
 
 
+def material_diffuse_point_light(
+    geo_feat: jnp.ndarray,        # (N, F) features; albedo = sigmoid(first 3)
+    positions: jnp.ndarray,       # (N, 3) world sample positions
+    shading_normal: jnp.ndarray,  # (N, 3) unit normals
+    light_positions: jnp.ndarray, # (N, 3) or (3,) point-light position(s)
+    ambient_light_color=(0.1, 0.1, 0.1),
+    diffuse_light_color=(0.9, 0.9, 0.9),
+    shading: str = "diffuse",
+) -> jnp.ndarray:
+    """Lambertian point-light shading
+    (diffuse_with_point_light_material.py:43-110): albedo = sigmoid(feat[:3]);
+    diffuse = max(0, n . normalize(light - x)) * diffuse_color;
+    'albedo' | 'textureless' | 'diffuse' select the training augmentations."""
+    albedo = jax.nn.sigmoid(geo_feat[..., :3].astype(jnp.float32))
+    if shading == "albedo":
+        return albedo
+    amb = jnp.asarray(ambient_light_color, jnp.float32)
+    dif = jnp.asarray(diffuse_light_color, jnp.float32)
+    lp = jnp.broadcast_to(jnp.asarray(light_positions, jnp.float32),
+                          positions.shape)
+    ldir = lp - positions
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-8)
+    lambert = jnp.clip((shading_normal * ldir).sum(-1, keepdims=True), 0.0, None)
+    textureless = lambert * dif + amb
+    if shading == "textureless":
+        return jnp.broadcast_to(textureless, albedo.shape)
+    if shading == "diffuse":
+        return jnp.clip(albedo, 0.0, 1.0) * textureless
+    raise ValueError(f"unknown shading {shading!r}")
+
+
 # -------------------------------------------------------------- backgrounds
 
 def init_env_map_bg(rng: jax.Array, cfg: NeRFConfig) -> Dict:
@@ -154,10 +185,13 @@ def background_solid(params: Dict, d: jnp.ndarray, color: float) -> jnp.ndarray:
 
 
 GEOMETRY_REGISTRY = ("implicit-volume", "volume-grid")
-MATERIAL_REGISTRY = ("neural-radiance-material", "no-material")
+MATERIAL_REGISTRY = ("neural-radiance-material", "no-material",
+                     "diffuse-with-point-light-material")
 BACKGROUND_REGISTRY = ("solid-color-background",
                        "neural-environment-map-background",
                        "textured-background")
+NORMAL_TYPES = ("none", "finite_difference", "finite_difference_laplacian",
+                "analytic", "pred")
 
 
 # ------------------------------------------------------------------- field
@@ -177,13 +211,20 @@ class RegistryField:
                  material: str = "neural-radiance-material",
                  background: str = "solid-color-background",
                  grid_cfg: Optional[VolumeGridConfig] = None,
-                 background_color: float = 0.0):
+                 background_color: float = 0.0,
+                 normal_type: str = "none",
+                 fd_normal_eps: float = 0.01,
+                 light_position=(2.0, 2.0, 2.0),
+                 ambient_light_color=(0.1, 0.1, 0.1),
+                 diffuse_light_color=(0.9, 0.9, 0.9)):
         if geometry not in GEOMETRY_REGISTRY:
             raise ValueError(f"unknown geometry {geometry!r}; have {GEOMETRY_REGISTRY}")
         if material not in MATERIAL_REGISTRY:
             raise ValueError(f"unknown material {material!r}; have {MATERIAL_REGISTRY}")
         if background not in BACKGROUND_REGISTRY:
             raise ValueError(f"unknown background {background!r}; have {BACKGROUND_REGISTRY}")
+        if normal_type not in NORMAL_TYPES:
+            raise ValueError(f"unknown normal_type {normal_type!r}; have {NORMAL_TYPES}")
         self.cfg = cfg
         self.geometry = geometry
         self.material = material
@@ -192,10 +233,31 @@ class RegistryField:
         self.grid_cfg = grid_cfg or VolumeGridConfig(feature_dim=cfg.geo_feat_dim)
         self._inner = NeRFField(cfg)
         self.dtype = self._inner.dtype
+        # normals (reference implicit_volume.py:48-51 normal_type and
+        # :141-186 implementations); the diffuse material requires them
+        self.requires_normal = material == "diffuse-with-point-light-material"
+        if self.requires_normal and normal_type == "none":
+            normal_type = "finite_difference"
+        self.normal_type = normal_type
+        self.fd_normal_eps = fd_normal_eps
+        self.light_position = tuple(light_position)
+        self.ambient_light_color = tuple(ambient_light_color)
+        self.diffuse_light_color = tuple(diffuse_light_color)
+        # analytic normals differentiate density w.r.t. POSITIONS, which the
+        # quad-packed fast sampler deliberately drops (ops/grid_sample.py);
+        # a sibling field with the gradient-exact sampler serves that path
+        # (same params/planes — fast_sampler only changes the sampling op)
+        if normal_type == "analytic" and cfg.encoding == "triplane_wavelet":
+            exact_cfg = dataclasses.replace(
+                cfg, triplane=dataclasses.replace(cfg.triplane,
+                                                  fast_sampler=False))
+            self._exact_inner = NeRFField(exact_cfg)
+        else:
+            self._exact_inner = self._inner
 
     # -- params
     def init_params(self, rng: jax.Array) -> Dict:
-        k_nerf, k_geo, k_bg = jax.random.split(rng, 3)
+        k_nerf, k_geo, k_bg, k_nrm = jax.random.split(rng, 4)
         params = init_nerf_params(k_nerf, self.cfg)
         if self.geometry == "volume-grid":
             params["encoder"] = init_volume_grid(k_geo, self.grid_cfg)
@@ -207,6 +269,13 @@ class RegistryField:
             params.update(init_env_map_bg(k_bg, self.cfg))
         elif self.bg_kind == "textured-background":
             params.update(init_textured_bg(k_bg))
+        if self.normal_type == "pred":
+            # normal head on the spatial ENCODING (implicit_volume.py:216-218
+            # normal_network(enc)), mirrored MLP shape
+            enc_dim = (1 + self.grid_cfg.feature_dim
+                       if self.geometry == "volume-grid" else self.cfg.in_dim)
+            params["normal_net"] = _init_mlp(
+                k_nrm, [enc_dim, self.cfg.hidden_dim, 3])
         return params
 
     # -- NeRFField interface
@@ -224,15 +293,90 @@ class RegistryField:
             return sigma, feats[..., 1:]
         return self._inner.density(params, planes, x, resolution_mode)
 
-    def color(self, params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray) -> jnp.ndarray:
+    def _encode(self, params: Dict, planes: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Raw spatial encoding (the 'enc' the reference's pred-normal head
+        consumes, implicit_volume.py:216)."""
+        if self.geometry == "volume-grid":
+            return sample_volume_grid(params["encoder"], x, self.grid_cfg,
+                                      self.cfg.bound)
+        from .triplane import sample_triplane
+
+        return sample_triplane(planes, x, self.cfg.triplane,
+                               lbound=self.cfg.bound,
+                               enc_params=params["encoder"])
+
+    def _density_only(self, params: Dict, planes: Dict, x: jnp.ndarray,
+                      exact: bool = False) -> jnp.ndarray:
+        if self.geometry == "volume-grid":
+            feats = sample_volume_grid(params["encoder"], x, self.grid_cfg,
+                                       self.cfg.bound)
+            return trunc_exp(self._inner._density_blob(x, feats[..., 0]))
+        inner = self._exact_inner if exact else self._inner
+        return inner.density(params, planes, x)[0]
+
+    def normal(self, params: Dict, planes: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Unit shading normals per ``normal_type``
+        (implicit_volume.py:141-218):
+
+        * ``finite_difference``: forward difference of density over +eps
+          offsets, ``n = -normalize(d(x + eps e_i) - d(x))``.
+        * ``finite_difference_laplacian``: central difference over the 6-point
+          stencil (the reference's misnomer for the symmetric stencil).
+        * ``analytic``: ``-normalize(grad_x density)`` via jax.grad through the
+          gradient-exact sampler (the quad sampler drops coordinate grads).
+        * ``pred``: a small MLP head on the spatial encoding.
+        """
+        b = self.cfg.bound
+        if self.normal_type in ("finite_difference",
+                                "finite_difference_laplacian"):
+            eps = self.fd_normal_eps
+            if self.normal_type == "finite_difference_laplacian":
+                offs = jnp.asarray(
+                    [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+                     [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], jnp.float32)
+                pts = jnp.clip(x[:, None, :] + offs[None], -b, b)
+                dd = self._density_only(params, planes, pts.reshape(-1, 3))
+                dd = dd.reshape(-1, 6)
+                g = -0.5 * (dd[:, 0::2] - dd[:, 1::2]) / eps
+            else:
+                offs = eps * jnp.eye(3, dtype=jnp.float32)
+                pts = jnp.clip(x[:, None, :] + offs[None], -b, b)
+                dd = self._density_only(params, planes, pts.reshape(-1, 3))
+                d0 = self._density_only(params, planes, x)
+                g = -(dd.reshape(-1, 3) - d0[:, None]) / eps
+        elif self.normal_type == "analytic":
+            g = -jax.grad(
+                lambda p: self._density_only(params, planes, p, exact=True)
+                .sum()
+            )(x)
+        elif self.normal_type == "pred":
+            enc = self._encode(params, planes, x).astype(self.dtype)
+            g = _mlp(params["normal_net"], enc, self.dtype).astype(jnp.float32)
+        else:
+            raise ValueError(
+                f"normal_type {self.normal_type!r} cannot produce normals")
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+
+    def color(self, params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray,
+              x: Optional[jnp.ndarray] = None, planes: Optional[Dict] = None,
+              shading: str = "diffuse") -> jnp.ndarray:
         if self.material == "no-material":
             return material_no_material(params, d, geo_feat, self.dtype)
+        if self.material == "diffuse-with-point-light-material":
+            if x is None:
+                raise ValueError(
+                    "diffuse-with-point-light-material needs sample positions;"
+                    " call the field (__call__) or pass x= explicitly")
+            n = self.normal(params, planes or {}, x)
+            return material_diffuse_point_light(
+                geo_feat, x, n, jnp.asarray(self.light_position),
+                self.ambient_light_color, self.diffuse_light_color, shading)
         return self._inner.color(params, d, geo_feat)
 
     def __call__(self, params: Dict, planes: Dict, x: jnp.ndarray, d: jnp.ndarray,
                  resolution_mode: str = "full"):
         sigma, geo = self.density(params, planes, x, resolution_mode)
-        return sigma, self.color(params, d, geo)
+        return sigma, self.color(params, d, geo, x=x, planes=planes)
 
     def background(self, params: Dict, d: jnp.ndarray) -> jnp.ndarray:
         if self.bg_kind == "neural-environment-map-background":
