@@ -405,6 +405,9 @@ def make_resize_guidance(cfg: GuidanceConfig, scale: int = 4):
     diffusion checkpoint is available)."""
 
     class _Resize:
+        def __init__(self):
+            self.cfg = cfg  # same introspection surface as UpscalerGuidance
+
         def generate_sr(self, rng, lr_image, hr_render, step=0, ignore_t=None):
             up = jax.image.resize(lr_image, hr_render.shape, "bilinear")
             return jnp.clip(0.7 * up + 0.3 * hr_render, 0.0, 1.0)
