@@ -299,3 +299,94 @@ class TestQuadSampler:
         coords = jnp.asarray([[0.3, -0.4]], jnp.float32)
         g = jax.grad(lambda c: grid_sample_2d_quad(plane, c).sum())(coords)
         np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+class TestDtGammaLadder:
+    """dt_gamma > 0 growing-step ladder (the LLFF/colmap recipes' sampling
+    law, reference raymarching.cu:345-399) — closed form vs the recurrence."""
+
+    def _recurrence(self, t0, n, dt_min, dt_max, g):
+        ts, dts = [], []
+        t = np.asarray(t0, np.float64).copy()
+        for _ in range(n):
+            dt = np.clip(t * g, dt_min, dt_max)
+            ts.append(t.copy())
+            dts.append(dt.copy())
+            t = t + dt
+        return np.stack(ts, -1), np.stack(dts, -1)
+
+    @pytest.mark.parametrize("g,max_steps,grid", [
+        (1.0 / 128, 1024, 128),   # the colmap/LLFF default (cli.py --dt_gamma)
+        (1.0 / 256, 512, 64),
+        (0.05, 256, 128),         # aggressive growth: phase 3 reached fast
+    ])
+    def test_closed_form_matches_recurrence(self, g, max_steps, grid):
+        dt_min = 2 * RM.SQRT3 / max_steps
+        dt_max = 2 * RM.SQRT3 * 4 / grid   # cascades=3 -> 2^(C-1)=4
+        t0 = jnp.asarray([0.05, 0.2, 1.7, 25.0, 200.0], jnp.float32)
+        n = 300
+        ts, dts = RM.dt_ladder(t0, n, dt_min, dt_max, g)
+        ts_ref, dts_ref = self._recurrence(np.asarray(t0), n, dt_min, dt_max, g)
+        np.testing.assert_allclose(np.asarray(ts), ts_ref, rtol=3e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dts), dts_ref, rtol=3e-5, atol=1e-7)
+
+    def test_ladder_satisfies_step_law_pairwise(self):
+        g, dt_min, dt_max = 1.0 / 128, 0.003, 0.2
+        t0 = jnp.asarray(np.random.default_rng(0).uniform(0.1, 30, 64), jnp.float32)
+        ts, dts = RM.dt_ladder(t0, 500, dt_min, dt_max, g)
+        ts, dts = np.asarray(ts, np.float64), np.asarray(dts)
+        # diff() of f32 t-values cancels to ulp(t) ~ 1e-5 at t ~ 1e2; the
+        # tolerance reflects representation error, not a law violation
+        np.testing.assert_allclose(
+            np.diff(ts, axis=1), np.clip(ts[:, :-1] * g, dt_min, dt_max),
+            rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(
+            dts, np.clip(ts * g, dt_min, dt_max), rtol=1e-5, atol=1e-8)
+        assert np.asarray(ts[:, 0] == np.asarray(t0, np.float64)).all()
+
+    def test_worst_case_steps_cover_span_and_beat_uniform(self):
+        g, max_steps, grid, bound = 1.0 / 128, 1024, 128, 8.0
+        dt_min = 2 * RM.SQRT3 / max_steps
+        cascades = 4
+        dt_max = 2 * RM.SQRT3 * (2 ** (cascades - 1)) / grid
+        span = 2 * bound * RM.SQRT3
+        n = RM.worst_case_ladder_steps(span, 0.2, dt_min, dt_max, g)
+        # covers: the ladder from t0=0.2 must pass t0+span within n steps
+        ts, _ = RM.dt_ladder(jnp.asarray([0.2], jnp.float32), n, dt_min, dt_max, g)
+        assert float(ts[0, -1]) >= 0.2 + span
+        # and beats the uniform allocation by ~an order of magnitude
+        assert n < int(np.ceil(bound * max_steps)) / 8, n
+
+    def test_march_candidates_dt_gamma_end_to_end(self):
+        """Growing-dt flat march: candidates obey the law, occupancy+range
+        masking still applies, and the renderer-sized enumeration covers the
+        box crossing."""
+        from trinerflet_tpu.render.renderer import RenderConfig
+
+        cfg = RenderConfig(bound=4.0, grid_size=64, max_steps=512,
+                           dt_gamma=1.0 / 128, march="flat")
+        n_cand = cfg.num_candidates
+        assert n_cand < int(np.ceil(cfg.bound * cfg.max_steps)) / 3
+        N = 8
+        o = np.zeros((N, 3), np.float32); o[:, 2] = -6.0
+        d = np.zeros((N, 3), np.float32); d[:, 2] = 1.0
+        aabb = jnp.asarray([-4.0, -4, -4, 4, 4, 4])
+        near, far = RM.near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+        occ = jnp.ones((cfg.cascades, 64, 64, 64), bool)
+        res = RM.march_candidates(
+            jnp.asarray(o), jnp.asarray(d), near, far, occ, jnp.zeros(N),
+            num_steps=n_cand, max_steps=cfg.max_steps, grid_size=64,
+            cascades=cfg.cascades, bound=4.0, dt_gamma=cfg.dt_gamma)
+        ts, dts, valid = (np.asarray(res.ts), np.asarray(res.dts),
+                          np.asarray(res.valid))
+        # valid samples span the whole box crossing (t in [2, 10])
+        vt = ts[valid.astype(bool)]
+        assert vt.min() < 2.1 and vt.max() > 9.5
+        # no sample past far is valid
+        assert (ts[0][valid[0]] <= float(far[0]) + 1e-5).all()
+        # step law holds on the enumerated ladder
+        np.testing.assert_allclose(
+            np.diff(ts[0]),
+            np.clip(ts[0, :-1] / 128, 2 * RM.SQRT3 / 512,
+                    2 * RM.SQRT3 * 2 ** (cfg.cascades - 1) / 64),
+            rtol=1e-3, atol=2e-5)

@@ -130,7 +130,23 @@ class RenderConfig:
     def num_candidates(self) -> int:
         if self.candidates_override > 0:
             return self.candidates_override
-        return int(math.ceil(self.bound * self.max_steps))
+        return self.candidates_for(self.max_steps)
+
+    def candidates_for(self, steps: int) -> int:
+        """Candidate-enumeration length for a given occupied-sample cap.
+        dt_gamma == 0: uniform dt covers ``bound * steps`` candidates.
+        dt_gamma > 0: the growing ladder crosses the scene in far fewer
+        steps — size it by the closed-form worst case (ray entering at
+        min_near and crossing the full diagonal)."""
+        if self.dt_gamma <= 0.0:
+            return int(math.ceil(self.bound * steps))
+        from ..ops.raymarch import SQRT3, worst_case_ladder_steps
+
+        dt_min = 2.0 * SQRT3 / steps
+        dt_max = 2.0 * SQRT3 * (2 ** (self.cascades - 1)) / self.grid_size
+        return worst_case_ladder_steps(
+            2.0 * self.bound * SQRT3, self.min_near, dt_min, dt_max,
+            self.dt_gamma)
 
     def for_eval(self) -> "RenderConfig":
         """Deep test-time variant: widen the per-ray budget to
@@ -554,7 +570,7 @@ def render_occgrid(
             mean_z = depth_raw / jnp.maximum(ws, 1e-8)
             z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
     else:
-        n_cand = cfg.num_candidates if max_steps is None else int(math.ceil(cfg.bound * steps))
+        n_cand = cfg.num_candidates if max_steps is None else cfg.candidates_for(steps)
         march = RM.march_candidates(
             rays_o, rays_d, nears_c, fars_c, occ, noise,
             num_steps=n_cand, max_steps=steps, grid_size=cfg.grid_size,
