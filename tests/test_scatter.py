@@ -99,3 +99,61 @@ def test_default_precision_within_bf16_term_rounding():
     # bf16 keeps 8 mantissa bits: per-term relative error <= 2^-9; terms per
     # row here are ~4, |term| <= ~4 -> absolute slack ~ count * 4 * 2^-9
     np.testing.assert_allclose(got, ref, rtol=0, atol=(n / rows) * 4 * 2 ** -9 * 4)
+
+
+class TestShardedBlockedScatter:
+    """The shard_map (per-data-shard sort/scan + psum) form of the blocked
+    scatter: exact agreement with plain scatter-add, on a real data mesh.
+    'auto' routes here only on TPU backends (CPU executes native scatter
+    ~650x faster than the emulated matmul scan), so this exercises the path
+    explicitly via strategy='blocked' under an active mesh — the same graph
+    real multi-chip TPU training compiles."""
+
+    def test_matches_xla_on_data_mesh(self):
+        import jax
+        from trinerflet_tpu.parallel.sharding import (
+            DATA_AXIS, active_mesh, make_mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(jax.devices()[:4], model_parallel=1)
+        rng = np.random.default_rng(0)
+        N, D, R = 4096, 8, 512
+        idx = rng.integers(0, R, N).astype(np.int32)
+        pay = rng.normal(size=(N, D)).astype(np.float32)
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        idx_d = jax.device_put(jnp.asarray(idx), sh)
+        pay_d = jax.device_put(jnp.asarray(pay), sh)
+
+        @jax.jit
+        def go(i, p):
+            with active_mesh(mesh):
+                return scatter_add_rows(i, p, R, strategy="blocked")
+
+        got = np.asarray(go(idx_d, pay_d))
+        ref = np.asarray(xla_scatter_add(jnp.asarray(idx), jnp.asarray(pay), R))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+    def test_data_and_model_mesh(self):
+        import jax
+        from trinerflet_tpu.parallel.sharding import (
+            DATA_AXIS, MODEL_AXIS, active_mesh, make_mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+        rng = np.random.default_rng(1)
+        N, D, R = 2048, 16, 256
+        idx = rng.integers(0, R, N).astype(np.int32)
+        pay = rng.normal(size=(N, D)).astype(np.float32)
+        idx_d = jax.device_put(jnp.asarray(idx),
+                               NamedSharding(mesh, P(DATA_AXIS)))
+        pay_d = jax.device_put(jnp.asarray(pay),
+                               NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)))
+
+        @jax.jit
+        def go(i, p):
+            with active_mesh(mesh):
+                return scatter_add_rows(i, p, R, strategy="blocked")
+
+        got = np.asarray(go(idx_d, pay_d))
+        ref = np.asarray(xla_scatter_add(jnp.asarray(idx), jnp.asarray(pay), R))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)

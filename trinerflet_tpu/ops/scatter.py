@@ -143,6 +143,43 @@ def blocked_scatter_add(
     return out[:num_rows]
 
 
+def _sharded_blocked_scatter_add(
+    idx: jnp.ndarray, payload: jnp.ndarray, num_rows: int, tile: int,
+    precision: str, mesh,
+) -> jnp.ndarray:
+    """Per-data-shard blocked scatter + psum, via shard_map.
+
+    The blocked scatter is a GLOBAL sort followed by a sequential scan over
+    blocks of the sorted stream — a structure the SPMD partitioner cannot
+    split across data shards (at data=8 it emitted collectives inside the
+    scan body: 13x backward blowup, scripts/bisect_d8_cliff2.py). But
+    scatter-add is order-independent: each shard sorts and scans only ITS
+    rows into a full-size partial output, and a single psum over the data
+    axis reduces the partials — the same one all-reduce the gradient needs
+    anyway, just taken before the (cheap, then-replicated) IDWT transpose
+    instead of after. Only the f32 accumulation ORDER differs from the
+    single-device path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import DATA_AXIS, MODEL_AXIS
+
+    model = mesh.shape.get(MODEL_AXIS, 1)
+    split_ch = model > 1 and payload.shape[1] % model == 0
+    in_pay = P(DATA_AXIS, MODEL_AXIS) if split_ch else P(DATA_AXIS)
+    out_spec = P(None, MODEL_AXIS) if split_ch else P(None, None)
+
+    def local(i, p):
+        out = blocked_scatter_add(i, p, num_rows, tile=tile,
+                                  precision=precision)
+        return jax.lax.psum(out, DATA_AXIS)
+
+    # check_vma off: the scan carry starts from an (unvarying) zeros buffer
+    # that becomes shard-varying through the per-shard xs — intended here
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), in_pay),
+                         out_specs=out_spec, check_vma=False)(idx, payload)
+
+
 def scatter_add_rows(
     idx: jnp.ndarray,
     payload: jnp.ndarray,
@@ -150,15 +187,39 @@ def scatter_add_rows(
     strategy: str = "auto",
     precision: str = "highest",
 ) -> jnp.ndarray:
-    """Dispatch: 'xla' | 'blocked' | 'auto' (blocked on TPU-sized problems,
-    plain scatter for small ones where sort overhead dominates)."""
+    """Dispatch: 'xla' | 'blocked' | 'auto'.
+
+    'auto' is backend-aware: the blocked one-hot-matmul form exists because
+    TPU serializes scatter (~100 ns/row); CPU executes scatter natively at
+    full speed while emulating the matmul scan ~3 orders slower (measured:
+    98k x 32 f32 rows into 16k: xla 5 ms, blocked 3.2 s on this host). So on
+    a CPU backend 'auto' always takes the plain scatter, and the virtual-mesh
+    tests exercise the same GSPMD pattern (local scatter + grad all-reduce)
+    real multi-chip DP uses. On TPU, big problems take the blocked path;
+    under an ambient data mesh it runs per-shard + psum via shard_map
+    (_sharded_blocked_scatter_add) because its global sort+scan cannot be
+    SPMD-partitioned. Keys off jax.default_backend() at trace time (same
+    trade as ops/wavelets.py — documented there)."""
+    from ..parallel.sharding import DATA_AXIS, current_data_mesh
+
     if strategy == "xla":
         return xla_scatter_add(idx, payload, num_rows)
+    mesh = current_data_mesh()
+    n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
+    sharded_ok = (mesh is not None and idx.shape[0] % n_data == 0)
     if strategy == "blocked":
+        if sharded_ok:
+            return _sharded_blocked_scatter_add(
+                idx, payload, num_rows, 2048, precision, mesh)
         return blocked_scatter_add(idx, payload, num_rows, precision=precision)
+    if jax.default_backend() == "cpu":
+        return xla_scatter_add(idx, payload, num_rows)
     N = idx.shape[0]
     if N >= 65536 and num_rows >= 16384:
         tile = min(2048, 1 << max(8, (num_rows - 1).bit_length() - 7))
+        if sharded_ok:
+            return _sharded_blocked_scatter_add(
+                idx, payload, num_rows, tile, precision, mesh)
         return blocked_scatter_add(idx, payload, num_rows, tile=tile,
                                    precision=precision)
     return xla_scatter_add(idx, payload, num_rows)

@@ -24,16 +24,46 @@ get sharding constraints, and XLA emits all_gathers/psums over ICI.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "param_shardings", "state_shardings", "DATA_AXIS", "MODEL_AXIS"]
+__all__ = ["make_mesh", "param_shardings", "state_shardings", "DATA_AXIS",
+           "MODEL_AXIS", "active_mesh", "current_data_mesh"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# Trace-time mesh context: ops that must be expressed per-data-shard (the
+# blocked scatter-add — a sequential global sort+scan the SPMD partitioner
+# cannot decompose; it emitted per-iteration collectives at data=8, a 13x
+# backward blowup) consult this to wrap themselves in shard_map. Set by the
+# step functions around THEIR OWN tracing, so interleaved meshed/unmeshed
+# trainers in one process can't contaminate each other.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Scope ``mesh`` as the ambient mesh while tracing a step function."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def current_data_mesh() -> Optional[Mesh]:
+    """The ambient mesh, if it has a non-trivial data axis."""
+    m = _ACTIVE_MESH
+    if m is not None and m.shape.get(DATA_AXIS, 1) > 1:
+        return m
+    return None
 
 
 def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Mesh:

@@ -486,10 +486,16 @@ class Trainer:
         return loss, aux
 
     def _train_step_impl(self, state: TrainState, data):
+        from ..parallel.sharding import active_mesh
+
         rng, k = jax.random.split(state.rng)
-        (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, state.occ, k, data, state.error_map
-        )
+        with active_mesh(self.mesh):
+            # trace-time scope: mesh-aware ops (the blocked scatter in the
+            # plane-grad path) express themselves per-data-shard instead of
+            # leaving a global sort+scan for the SPMD partitioner to mangle
+            (loss, aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, state.occ, k, data, state.error_map)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
