@@ -243,3 +243,83 @@ class TestDiffuseMaterial:
         params = f.init_params(jax.random.PRNGKey(0))
         with pytest.raises(ValueError, match="positions"):
             f.color(params, jnp.zeros((4, 3)), jnp.zeros((4, CFG.geo_feat_dim)))
+
+
+class TestImplicitSDF:
+    """implicit-sdf geometry (reference implicit_sdf.py): sdf/feature heads,
+    sphere bias, Laplace-density bridge, outward normals."""
+
+    def _field(self, **kw):
+        from trinerflet_tpu.models.registry import SDFConfig
+
+        return RegistryField(CFG, geometry="implicit-sdf",
+                             material="no-material",
+                             sdf_cfg=SDFConfig(sdf_bias="sphere",
+                                               sdf_bias_params=(0.5,)),
+                             **kw)
+
+    def test_sphere_bias_shapes_init_sdf(self):
+        f = self._field()
+        params = f.init_params(jax.random.PRNGKey(0))
+        assert "sdf_net" in params and "feature_net" in params
+        assert "sigma_net" not in params
+        planes = f.build_planes(params)
+        # at init the MLP output is near 0 -> sdf ~ |x| - 0.5
+        x = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.0, 0.0], [0.5, 0.0, 0.0]])
+        s = np.asarray(f.sdf(params, planes, x))
+        assert s[0] < -0.2          # deep inside
+        assert s[1] > 0.2           # outside
+        assert abs(s[2]) < 0.25     # near the surface
+        # density follows: high inside, ~0 outside
+        sig, feats = f.density(params, planes, x)
+        sig = np.asarray(sig)
+        assert sig[0] > 3.0 and sig[1] < 0.5
+        assert feats.shape == (3, CFG.geo_feat_dim)
+
+    def test_normals_point_outward(self):
+        f = self._field(normal_type="finite_difference", fd_normal_eps=0.02)
+        params = f.init_params(jax.random.PRNGKey(1))
+        planes = f.build_planes(params)
+        x = jnp.asarray([[0.5, 0.0, 0.0], [0.0, -0.5, 0.0], [0.0, 0.0, 0.5]])
+        n = np.asarray(f.normal(params, planes, x))
+        assert n[0, 0] > 0.9 and n[1, 1] < -0.9 and n[2, 2] > 0.9
+
+    def test_fd_vs_analytic_sdf_normals(self):
+        fd = self._field(normal_type="finite_difference", fd_normal_eps=0.005)
+        an = self._field(normal_type="analytic")
+        params = fd.init_params(jax.random.PRNGKey(2))
+        params["encoder"]["base"] = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(3), params["encoder"]["base"].shape)
+        planes = fd.build_planes(params)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-0.6, 0.6, (128, 3)), jnp.float32)
+        cos = (np.asarray(fd.normal(params, planes, x))
+               * np.asarray(an.normal(params, planes, x))).sum(-1)
+        assert np.median(cos) > 0.95
+
+    def test_trains_through_renderer(self):
+        f = self._field()
+        params = f.init_params(jax.random.PRNGKey(5))
+        rcfg = R.RenderConfig(bound=1.0, grid_size=16, max_steps=64,
+                              samples_per_ray_budget=8, dt_gamma=0.0,
+                              march="flat", num_steps=64)
+        occ = jnp.ones((1, 16, 16, 16), bool)
+        o = jnp.asarray(np.tile([[0.0, 0.0, -0.9]], (32, 1)), jnp.float32)
+        rng = np.random.default_rng(6)
+        dd = rng.standard_normal((32, 3)) * 0.1 + np.array([0, 0, 1.0])
+        dd = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True),
+                         jnp.float32)
+        gt = jnp.asarray(rng.uniform(0.3, 0.7, (32, 3)), jnp.float32)
+
+        def loss_fn(p):
+            planes = f.build_planes(p)
+            out = R.render_occgrid(lambda x, d: f(p, planes, x, d), o, dd,
+                                   occ, rcfg)
+            return jnp.mean((out["image"] - gt) ** 2)
+
+        l0, g = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(l0))
+        assert float(jnp.abs(g["sdf_net"]["w0"]).max()) > 0
+        assert float(jnp.abs(g["log_beta"])) >= 0
+        p2 = jax.tree.map(lambda a, b: a - 2.0 * b, params, g)
+        assert float(loss_fn(p2)) < float(l0)

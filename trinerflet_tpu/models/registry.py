@@ -94,6 +94,52 @@ def sample_volume_grid(params: Dict, x: jnp.ndarray, cfg: VolumeGridConfig,
     return out
 
 
+# ---------------------------------------------------------------- SDF geometry
+
+@dataclasses.dataclass(frozen=True)
+class SDFConfig:
+    """Implicit SDF geometry (reference implicit_sdf.py): a signed-distance
+    head + feature head on the shared spatial encoding, with a geometric
+    bias (``sdf_bias``) so the zero level set starts as a sphere/ellipsoid
+    (implicit_sdf.py:224-245; the TPU-native stand-in for the reference's
+    shape-init pretraining loop). ``beta`` parameterizes the VolSDF Laplace
+    density bridge sigma = (1/beta) * Psi_beta(-sdf) so the SDF field renders
+    through the density renderer (the reference pairs ImplicitSDF with a
+    NeuS-style renderer; the Laplace CDF is the standard density equivalent
+    and keeps every occgrid/compositing path unchanged)."""
+    sdf_bias: str = "sphere"       # 'sphere' | 'ellipsoid' | 'none'
+    sdf_bias_params: Tuple[float, ...] = (0.5,)
+    init_beta: float = 0.1
+
+
+def shifted_sdf(raw: jnp.ndarray, x: jnp.ndarray, cfg: SDFConfig) -> jnp.ndarray:
+    """Apply the geometric bias (implicit_sdf.py get_shifted_sdf)."""
+    if cfg.sdf_bias == "sphere":
+        r = cfg.sdf_bias_params[0]
+        bias = jnp.linalg.norm(x, axis=-1) - r
+    elif cfg.sdf_bias == "ellipsoid":
+        size = jnp.asarray(cfg.sdf_bias_params, jnp.float32)
+        k = jnp.linalg.norm(x / size, axis=-1)
+        bias = k * (k - 1.0) / jnp.maximum(
+            jnp.linalg.norm(x / (size * size), axis=-1), 1e-8)
+    elif cfg.sdf_bias == "none":
+        bias = 0.0
+    else:
+        raise ValueError(f"unknown sdf_bias {cfg.sdf_bias!r}")
+    return raw + bias
+
+
+def laplace_density(sdf: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """VolSDF density: sigma = (1/beta) * Laplace_CDF(-sdf; 0, beta).
+    Smooth, positive, ~1/beta deep inside the surface, ->0 outside."""
+    beta = jnp.maximum(beta, 1e-4)
+    s = -sdf / beta
+    # CDF of Laplace(0,1) at s: 0.5 e^s for s<=0, 1 - 0.5 e^-s for s>0
+    cdf = jnp.where(s <= 0, 0.5 * jnp.exp(jnp.minimum(s, 0.0)),
+                    1.0 - 0.5 * jnp.exp(-jnp.maximum(s, 0.0)))
+    return cdf / beta
+
+
 # ---------------------------------------------------------------- materials
 
 def material_no_material(params: Dict, d: jnp.ndarray, geo_feat: jnp.ndarray,
@@ -184,7 +230,7 @@ def background_solid(params: Dict, d: jnp.ndarray, color: float) -> jnp.ndarray:
     return jnp.full((d.shape[0], 3), color, jnp.float32)
 
 
-GEOMETRY_REGISTRY = ("implicit-volume", "volume-grid")
+GEOMETRY_REGISTRY = ("implicit-volume", "volume-grid", "implicit-sdf")
 MATERIAL_REGISTRY = ("neural-radiance-material", "no-material",
                      "diffuse-with-point-light-material")
 BACKGROUND_REGISTRY = ("solid-color-background",
@@ -211,6 +257,7 @@ class RegistryField:
                  material: str = "neural-radiance-material",
                  background: str = "solid-color-background",
                  grid_cfg: Optional[VolumeGridConfig] = None,
+                 sdf_cfg: Optional[SDFConfig] = None,
                  background_color: float = 0.0,
                  normal_type: str = "none",
                  fd_normal_eps: float = 0.01,
@@ -231,6 +278,7 @@ class RegistryField:
         self.bg_kind = background
         self.background_color = background_color
         self.grid_cfg = grid_cfg or VolumeGridConfig(feature_dim=cfg.geo_feat_dim)
+        self.sdf_cfg = sdf_cfg or SDFConfig()
         self._inner = NeRFField(cfg)
         self.dtype = self._inner.dtype
         # normals (reference implicit_volume.py:48-51 normal_type and
@@ -265,6 +313,19 @@ class RegistryField:
             # raw density, so the MLP stack is bypassed (volume_grid.py has
             # no decoder net either)
             params.pop("sigma_net")
+        elif self.geometry == "implicit-sdf":
+            # sdf + feature heads on the shared encoding
+            # (implicit_sdf.py:61-90 sdf_network/feature_network); the
+            # triplane/hash encoder params stay as-is
+            k_sdf, k_feat = jax.random.split(k_geo)
+            params.pop("sigma_net")
+            params["sdf_net"] = _init_mlp(
+                k_sdf, [self.cfg.in_dim, self.cfg.hidden_dim, 1])
+            params["feature_net"] = _init_mlp(
+                k_feat, [self.cfg.in_dim, self.cfg.hidden_dim,
+                         self.cfg.geo_feat_dim])
+            params["log_beta"] = jnp.log(
+                jnp.asarray(self.sdf_cfg.init_beta, jnp.float32))
         if self.bg_kind == "neural-environment-map-background":
             params.update(init_env_map_bg(k_bg, self.cfg))
         elif self.bg_kind == "textured-background":
@@ -291,18 +352,40 @@ class RegistryField:
                                        self.cfg.bound)
             sigma = trunc_exp(self._inner._density_blob(x, feats[..., 0]))
             return sigma, feats[..., 1:]
+        if self.geometry == "implicit-sdf":
+            enc = self._encode(params, planes, x).astype(self.dtype)
+            sdf = self.sdf(params, planes, x, enc=enc)
+            feats = _mlp(params["feature_net"], enc, self.dtype)
+            sigma = laplace_density(sdf, jnp.exp(params["log_beta"]))
+            return sigma, feats.astype(jnp.float32)
         return self._inner.density(params, planes, x, resolution_mode)
 
-    def _encode(self, params: Dict, planes: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def sdf(self, params: Dict, planes: Dict, x: jnp.ndarray,
+            enc: Optional[jnp.ndarray] = None,
+            exact: bool = False) -> jnp.ndarray:
+        """Shifted signed distance (implicit_sdf.py forward_sdf +
+        get_shifted_sdf). Only for geometry='implicit-sdf'."""
+        if enc is None:
+            enc = self._encode(params, planes, x,
+                               exact=exact).astype(self.dtype)
+        raw = _mlp(params["sdf_net"], enc, self.dtype)[..., 0]
+        return shifted_sdf(raw.astype(jnp.float32), x, self.sdf_cfg)
+
+    def _encode(self, params: Dict, planes: Dict, x: jnp.ndarray,
+                exact: bool = False) -> jnp.ndarray:
         """Raw spatial encoding (the 'enc' the reference's pred-normal head
-        consumes, implicit_volume.py:216)."""
+        consumes, implicit_volume.py:216). ``exact`` switches off the
+        quad-packed sampler so the encoding carries coordinate gradients
+        (needed for analytic SDF normals)."""
         if self.geometry == "volume-grid":
             return sample_volume_grid(params["encoder"], x, self.grid_cfg,
                                       self.cfg.bound)
         from .triplane import sample_triplane
 
-        return sample_triplane(planes, x, self.cfg.triplane,
-                               lbound=self.cfg.bound,
+        tri = self.cfg.triplane
+        if exact and tri.fast_sampler:
+            tri = dataclasses.replace(tri, fast_sampler=False)
+        return sample_triplane(planes, x, tri, lbound=self.cfg.bound,
                                enc_params=params["encoder"])
 
     def _density_only(self, params: Dict, planes: Dict, x: jnp.ndarray,
@@ -325,8 +408,20 @@ class RegistryField:
         * ``analytic``: ``-normalize(grad_x density)`` via jax.grad through the
           gradient-exact sampler (the quad sampler drops coordinate grads).
         * ``pred``: a small MLP head on the spatial encoding.
+
+        For ``implicit-sdf`` geometry the differenced scalar is the SDF with
+        a POSITIVE gradient sign (outward; implicit_sdf.py:275-335) instead
+        of the density's negative.
         """
         b = self.cfg.bound
+        if self.geometry == "implicit-sdf":
+            scalar = lambda p, exact=False: self.sdf(params, planes, p,
+                                                     exact=exact)
+            sign = 1.0
+        else:
+            scalar = lambda p, exact=False: self._density_only(
+                params, planes, p, exact=exact)
+            sign = -1.0
         if self.normal_type in ("finite_difference",
                                 "finite_difference_laplacian"):
             eps = self.fd_normal_eps
@@ -335,20 +430,17 @@ class RegistryField:
                     [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
                      [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], jnp.float32)
                 pts = jnp.clip(x[:, None, :] + offs[None], -b, b)
-                dd = self._density_only(params, planes, pts.reshape(-1, 3))
+                dd = scalar(pts.reshape(-1, 3))
                 dd = dd.reshape(-1, 6)
-                g = -0.5 * (dd[:, 0::2] - dd[:, 1::2]) / eps
+                g = sign * 0.5 * (dd[:, 0::2] - dd[:, 1::2]) / eps
             else:
                 offs = eps * jnp.eye(3, dtype=jnp.float32)
                 pts = jnp.clip(x[:, None, :] + offs[None], -b, b)
-                dd = self._density_only(params, planes, pts.reshape(-1, 3))
-                d0 = self._density_only(params, planes, x)
-                g = -(dd.reshape(-1, 3) - d0[:, None]) / eps
+                dd = scalar(pts.reshape(-1, 3))
+                d0 = scalar(x)
+                g = sign * (dd.reshape(-1, 3) - d0[:, None]) / eps
         elif self.normal_type == "analytic":
-            g = -jax.grad(
-                lambda p: self._density_only(params, planes, p, exact=True)
-                .sum()
-            )(x)
+            g = sign * jax.grad(lambda p: scalar(p, exact=True).sum())(x)
         elif self.normal_type == "pred":
             enc = self._encode(params, planes, x).astype(self.dtype)
             g = _mlp(params["normal_net"], enc, self.dtype).astype(jnp.float32)
