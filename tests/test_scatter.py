@@ -157,3 +157,122 @@ class TestShardedBlockedScatter:
         got = np.asarray(go(idx_d, pay_d))
         ref = np.asarray(xla_scatter_add(jnp.asarray(idx), jnp.asarray(pay), R))
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+class TestFactoredOuterScatter:
+    """blocked_scatter_add_outer: the factored (w, g) payload path used by
+    the quad sampler's plane-gradient backward. precision='highest' must be
+    BITWISE the materialized-payload blocked path (the in-body product is
+    the same f32 product); sentinel / zero rows must drop exactly; the
+    dynamic-trip block loop must agree with the static scan."""
+
+    def _ref(self, idx, w, g, num_rows):
+        pay = (w[:, :, None].astype(np.float64)
+               * g[:, None, :].astype(np.float64)).reshape(len(idx), -1)
+        ref = np.zeros((num_rows, pay.shape[1]), np.float64)
+        keep = idx < num_rows
+        np.add.at(ref, idx[keep], pay[keep])
+        return ref
+
+    def test_matches_materialized(self):
+        from trinerflet_tpu.ops.scatter import blocked_scatter_add_outer
+
+        rng = np.random.default_rng(7)
+        n, rows, K, C = 4096, 2048, 4, 8
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        w = rng.standard_normal((n, K)).astype(np.float32)
+        g = rng.standard_normal((n, C)).astype(np.float32)
+        for trip in ("dynamic", "static"):
+            got = np.asarray(blocked_scatter_add_outer(
+                jnp.asarray(idx), jnp.asarray(w), jnp.asarray(g), rows,
+                tile=256, block=128, precision="highest", trip=trip))
+            np.testing.assert_allclose(got, self._ref(idx, w, g, rows),
+                                       rtol=2e-5, atol=1e-5)
+
+    def test_sentinel_and_zero_rows_dropped(self):
+        from trinerflet_tpu.ops.scatter import blocked_scatter_add_outer
+
+        rng = np.random.default_rng(8)
+        n, rows, K, C = 3000, 1000, 4, 8  # rows not a tile multiple
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        w = rng.standard_normal((n, K)).astype(np.float32)
+        g = rng.standard_normal((n, C)).astype(np.float32)
+        idx[::5] = rows          # explicit drop sentinel
+        idx[1::7] = rows + 17    # any out-of-range index drops
+        g[2::3] = 0.0            # zero-cotangent rows: exact no-ops
+        got = np.asarray(blocked_scatter_add_outer(
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(g), rows,
+            tile=128, block=64, precision="highest"))
+        np.testing.assert_allclose(got, self._ref(idx, w, g, rows),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_default_precision_bf16_factor_rounding(self):
+        from trinerflet_tpu.ops.scatter import blocked_scatter_add_outer
+
+        rng = np.random.default_rng(9)
+        n, rows, K, C = 4096, 512, 4, 8
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        w = rng.random((n, K)).astype(np.float32)  # bilinear-like, [0, 1)
+        g = rng.standard_normal((n, C)).astype(np.float32)
+        got = np.asarray(blocked_scatter_add_outer(
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(g), rows,
+            tile=128, block=128, precision="default"))
+        ref = self._ref(idx, w, g, rows)
+        # both factors round to bf16 (rel err <= 2^-9 each) before an exact
+        # f32 accumulation; ~n/rows terms of magnitude <= ~3 per cell
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=(n / rows) * 3 * 2 ** -8)
+
+    def test_dispatch_and_grad_semantics(self):
+        from trinerflet_tpu.ops.scatter import scatter_add_outer
+
+        rng = np.random.default_rng(10)
+        n, rows, K, C = 1024, 256, 4, 4
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        w = rng.random((n, K)).astype(np.float32)
+        g = rng.standard_normal((n, C)).astype(np.float32)
+        got = np.asarray(scatter_add_outer(
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(g), rows))
+        np.testing.assert_allclose(got, self._ref(idx, w, g, rows),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_blocked_sentinel_rows_dropped(self):
+        """The plain blocked path honors the same >= num_rows drop marker."""
+        rng = np.random.default_rng(11)
+        n, rows = 2000, 700
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        idx[::4] = rows
+        pay = rng.standard_normal((n, 6)).astype(np.float32)
+        ref = np.zeros((rows, 6), np.float64)
+        keep = idx < rows
+        np.add.at(ref, idx[keep], pay[keep].astype(np.float64))
+        for trip in ("dynamic", "static"):
+            got = np.asarray(blocked_scatter_add(
+                jnp.asarray(idx), jnp.asarray(pay), rows, tile=128, block=64,
+                trip=trip))
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    def test_sharded_outer_on_data_model_mesh(self):
+        from trinerflet_tpu.ops.scatter import scatter_add_outer
+        from trinerflet_tpu.parallel.sharding import (
+            DATA_AXIS, active_mesh, make_mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+        rng = np.random.default_rng(12)
+        n, rows, K, C = 2048, 256, 4, 8
+        idx = rng.integers(0, rows, n).astype(np.int32)
+        w = rng.random((n, K)).astype(np.float32)
+        g = rng.standard_normal((n, C)).astype(np.float32)
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        args = [jax.device_put(jnp.asarray(a), sh) for a in (idx, w, g)]
+
+        @jax.jit
+        def go(i, wl, gl):
+            with active_mesh(mesh):
+                return scatter_add_outer(i, wl, gl, rows, strategy="blocked",
+                                         precision="highest")
+
+        got = np.asarray(go(*args))
+        np.testing.assert_allclose(got, self._ref(idx, w, g, rows),
+                                   rtol=2e-5, atol=1e-5)

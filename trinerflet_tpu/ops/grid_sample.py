@@ -149,19 +149,20 @@ def _quad_fwd(plane, coords):
 
 
 def _quad_bwd(res, g):
-    from .scatter import scatter_add_rows
+    from .scatter import scatter_add_outer
 
     idx, w, marker, cmarker = res
     H, W, C = marker.shape[1:]
-    gq_rows = (w[..., None] * g[:, None, :]).reshape(-1, 4 * C)  # (N, 4C)
     # plane-gradient accumulation WITHOUT an XLA scatter: sort + blocked
-    # one-hot matmuls (ops/scatter.py; ~1.8x the serialized scatter on TPU
-    # at bench scale, exact in fp32). Small problems fall back to .at[].add.
-    # bf16 planes: grad terms may round to bf16 in a 1-pass matmul (the
-    # result is cast to bf16 below anyway); f32 planes keep exact 6-pass.
+    # one-hot matmuls (ops/scatter.py). The (N, 4C) payload is a rank-1
+    # product of the 4 corner weights and the C-channel cotangent, so the
+    # FACTORED path reorders only the narrow [w | g] rows and forms the
+    # product per block; zero-cotangent rows (ray padding, early-terminated
+    # samples) are dropped exactly, costing no matmul blocks.
+    # bf16 planes: factors round to bf16 in the 1-pass matmul (the result is
+    # cast to bf16 below anyway); f32 planes keep exact 6-pass f32.
     prec = "default" if marker.dtype == jnp.bfloat16 else "highest"
-    gq = scatter_add_rows(idx, gq_rows.astype(jnp.float32), H * W,
-                          precision=prec)
+    gq = scatter_add_outer(idx, w, g, H * W, precision=prec)
     g_plane = _quad_unpack_grad(gq.reshape(H, W, 4 * C)).astype(marker.dtype)
     return g_plane, jnp.zeros((g.shape[0], 2), cmarker.dtype)
 
@@ -212,8 +213,13 @@ def _corner_bwd(res, g):
     idx, w, marker, cmarker = res
     H, W, C = marker.shape[1:]
     rows = (w[..., None] * g[:, None, :]).reshape(-1, C).astype(jnp.float32)
+    # zero-cotangent samples (ray padding, early termination) -> the scatter's
+    # drop sentinel: exact, and with the dynamic-trip block loop they cost no
+    # matmul blocks (all 4 corner rows of a dead sample are zero).
+    live = jnp.any(g != 0, axis=1)
+    idx = jnp.where(live[:, None], idx, H * W).reshape(-1)
     prec = "default" if marker.dtype == jnp.bfloat16 else "highest"
-    gq = scatter_add_rows(idx.reshape(-1), rows, H * W, precision=prec)
+    gq = scatter_add_rows(idx, rows, H * W, precision=prec, trip="dynamic")
     return gq.reshape(H, W, C).astype(marker.dtype), jnp.zeros(
         (g.shape[0], 2), cmarker.dtype
     )
