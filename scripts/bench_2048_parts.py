@@ -98,24 +98,44 @@ def main():
                          .astype(jnp.float32).sum()))
     timeit("corner fwd+bwd (live path)", g, plane)
 
-    # quad-grad variant: one scatter of N rows x 4C into (H*W, 4C)
-    idxN = jnp.asarray(rng.integers(0, RES * RES, M, dtype=np.int32))
+    # realistic index/liveness model: samples cluster in the occupied
+    # footprint (~35% of the plane) and ~45% of slots are dead (ray padding
+    # + early termination) -> routed to the drop sentinel by the live path
+    live_frac, fp_lo, fp_hi = 0.55, int(0.3 * RES * RES), int(0.65 * RES * RES)
+    idxN = rng.integers(fp_lo, fp_hi, M).astype(np.int32)
+    idxN[rng.random(M) > live_frac] = RES * RES  # sentinel
+    idxN = jnp.asarray(idxN)
     pay4c = jnp.asarray(rng.normal(size=(M, 4 * CH)).astype(np.float32))
+
+    # quad-grad variant: one scatter of N rows x 4C into (H*W, 4C)
     fq = jax.jit(lambda i, p: blocked_scatter_add(
-        i, p, RES * RES, precision="default"))
+        i, p, RES * RES, precision="default", trip="dynamic"))
     timeit(f"scatter N={M} rows x 4C={4*CH} (quad-grad form)", fq, idxN, pay4c)
 
+    # factored quad-grad: sort narrow [w|g] rows, outer product in-body
+    from trinerflet_tpu.ops.scatter import blocked_scatter_add_outer
+
+    wN = jnp.asarray(rng.random((M, 4)).astype(np.float32))
+    gN = jnp.asarray(rng.normal(size=(M, CH)).astype(np.float32))
+    fo = jax.jit(lambda i, w, g: blocked_scatter_add_outer(
+        i, w, g, RES * RES, precision="default"))
+    timeit(f"scatter outer N={M} w4 x g{CH} -> 4C (factored)", fo, idxN, wN, gN)
+
     # corner form: 4N rows x C
-    idx4N = jnp.asarray(rng.integers(0, RES * RES, 4 * M, dtype=np.int32))
+    idx4N = np.repeat(np.asarray(idxN), 4)
+    idx4N[idx4N < RES * RES] += rng.integers(0, 2, (idx4N < RES * RES).sum())
+    idx4N = jnp.asarray(idx4N.astype(np.int32))
     payC = jnp.asarray(rng.normal(size=(4 * M, CH)).astype(np.float32))
     fc = jax.jit(lambda i, p: blocked_scatter_add(
-        i, p, RES * RES, precision="default"))
+        i, p, RES * RES, precision="default", trip="dynamic"))
     timeit(f"scatter 4N={4*M} rows x C={CH} (corner form)", fc, idx4N, payC)
 
     # channel-split corner: 2 x (4N, 16)
     fs = jax.jit(lambda i, p: jnp.stack([
-        blocked_scatter_add(i, p[:, :16], RES * RES, precision="default"),
-        blocked_scatter_add(i, p[:, 16:], RES * RES, precision="default")]))
+        blocked_scatter_add(i, p[:, :16], RES * RES, precision="default",
+                            trip="dynamic"),
+        blocked_scatter_add(i, p[:, 16:], RES * RES, precision="default",
+                            trip="dynamic")]))
     timeit("scatter corner split 2x16ch", fs, idx4N, payC)
 
     # IDWT ladder
