@@ -39,9 +39,13 @@ nerf_cfg = NeRFConfig(
     triplane=TriplaneConfig(channels=16, resolution=1024, wavelet_scale=16),
     bound=1.5, compute_dtype="bfloat16", plane_dtype="bfloat16",
 )
+import os
+
+_F, _Bc, _B = (int(x) for x in os.environ.get("ACC_FB", "12,8,20").split(","))
 render_cfg = RC = R.RenderConfig(
     bound=1.5, grid_size=128, density_thresh=10.0, max_steps=1024,
-    samples_per_ray_budget=20, dt_gamma=0.0,
+    samples_per_ray_budget=_B, dt_gamma=0.0,
+    fine_per_coarse=_F, coarse_budget=_Bc,
 )
 train_cfg = TrainConfig(
     lr=1e-2, iters=10000, num_rays=N_RAYS, wavelet_regularization=0.4,

@@ -34,10 +34,11 @@ nerf_cfg = NeRFConfig(
     triplane=TriplaneConfig(channels=16, resolution=512, wavelet_scale=8),
     bound=1.0, compute_dtype="bfloat16", plane_dtype="bfloat16",
 )
+AUTOTUNE = os.environ.get("FB_AUTOTUNE", "0") == "1"
 train_cfg = TrainConfig(lr=1e-2, iters=1000, num_rays=8192,
                         wavelet_regularization=0.2, renderer="occgrid",
                         background_color=0.0, eval_chunk=16384,
-                        budget_autotune=False)
+                        budget_autotune=AUTOTUNE)
 
 CONFIGS = os.environ.get(
     "FB_AB", "12,8,24;24,4,24;24,4,16;16,6,16")
@@ -61,5 +62,9 @@ for c in CONFIGS.split(";"):
                                       test.H, test.W)
         gt = test.images[v][..., :3] * test.images[v][..., 3:]
         ps.append(float(psnr(img, np.asarray(gt))))
-    print(f"F={F:2d} Bc={Bc} B={B:2d} (radius {rc.coarse_dilation_radius}): "
-          f"val PSNR {float(np.mean(ps)):.3f}  wall {wall:.0f}s", flush=True)
+    print(f"F={F:2d} Bc={Bc} B={B:2d} (radius {rc.coarse_dilation_radius}"
+          f"{' autotune' if AUTOTUNE else ''}): "
+          f"val PSNR {float(np.mean(ps)):.3f}  wall {wall:.0f}s  "
+          f"tuned_B {trainer.render_cfg.samples_per_ray_budget} "
+          f"layout {trainer.render_cfg.compaction}"
+          f"(x{trainer.render_cfg.global_slots_per_ray})", flush=True)

@@ -248,3 +248,43 @@ class TestBudgetAutotune:
         state = trainer.init_state()
         state = trainer.fit(state, scene, log_every=0)
         assert trainer.render_cfg.samples_per_ray_budget == configured
+
+    def test_trunc_T_gates_budget_shrink(self):
+        """The budget tuner must shrink only when capped rays are already
+        opaque (trunc_T ~ 0) and must hold/grow while truncation is
+        discarding visible radiance (trunc_T above budget_trunc_tol) — the
+        hf-scene quality collapse of a static B cut (BENCH_notes
+        r4_scatter_factored vs quality_fb_ab)."""
+        import jax.numpy as jnp
+
+        def fresh():
+            t = tiny_setup(iters=40)
+            s = t.init_state()
+            return t, s._replace(occ=s.occ._replace(iter_density=jnp.int32(10)))
+
+        aux_opaque = {"samples_p99": 400.0, "overflow_frac": 0.5,
+                      "trunc_T": 0.0, "samples_mean": 3.0}
+        trainer, state = fresh()
+        configured = trainer.render_cfg.samples_per_ray_budget
+        trainer._maybe_retune_march(state, aux_opaque)
+        assert trainer.render_cfg.samples_per_ray_budget < configured
+        assert trainer.render_cfg.samples_per_ray_budget >= 8
+
+        aux_losing = dict(aux_opaque, trunc_T=0.5)
+        trainer2, state2 = fresh()
+        trainer2._maybe_retune_march(state2, aux_losing)
+        # budget is already at the configured ceiling: must NOT shrink
+        assert trainer2.render_cfg.samples_per_ray_budget == \
+            trainer2._budget_max
+
+    def test_trunc_T_signal_reaches_aux(self):
+        from trinerflet_tpu.data.synthetic import make_synthetic_scene
+
+        trainer = tiny_setup(iters=8, budget_autotune=False)
+        scene = make_synthetic_scene(num_views=2, H=24, W=24, num_steps=16)
+        state = trainer.init_state()
+        state = trainer._update_grid(state, full=True)
+        state, aux = trainer._train_step(state, trainer.scene_to_device(scene))
+        assert "trunc_T" in aux and "samples_mean" in aux
+        t = float(aux["trunc_T"])
+        assert 0.0 <= t <= 1.0 + 1e-6

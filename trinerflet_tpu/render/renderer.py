@@ -538,6 +538,7 @@ def render_occgrid(
         demand = mask.sum(-1).astype(jnp.float32) * stride
         samples_p99 = jnp.quantile(demand, 0.99)
         overflow_frac = (demand > B).mean().astype(jnp.float32)
+        capped = demand > B
         if cfg.compaction == "global" and cfg.global_slots_per_ray > 0:
             # second-stage global compaction: field/gather volume scales with
             # the live MEAN samples/ray instead of the p99-sized budget B
@@ -598,6 +599,7 @@ def render_occgrid(
             demand = mask.sum(-1).astype(jnp.float32) * stride
             samples_p99 = jnp.quantile(demand, 0.99)
             overflow_frac = (demand > B).mean().astype(jnp.float32)
+            capped = demand > B
         else:
             comp = RM.compact_samples(rays_o, rays_d, march, m_budget=N * B, bound=cfg.bound)
             sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
@@ -619,6 +621,21 @@ def render_occgrid(
     if samples_p99 is not None:
         out["samples_p99"] = samples_p99
         out["overflow_frac"] = overflow_frac
+        out["samples_mean"] = demand.mean()
+        # residual transmittance of budget-capped rays: the budget autotune's
+        # QUALITY signal. A capped ray that is already opaque (1 - ws ~ 0)
+        # lost nothing to truncation; a capped ray still transmissive means
+        # the cut discarded visible radiance — never shrink B while that mass
+        # exceeds TrainConfig.budget_trunc_tol. This is the TPU counterpart
+        # of the reference's demand-sized mean_count buffers
+        # (aux_libs/raymarching/raymarching.py:395-407) with an explicit
+        # quality guarantee instead of a heuristic mean.
+        n_capped = capped.sum()
+        out["trunc_T"] = jnp.where(
+            n_capped > 0,
+            jnp.where(capped, 1.0 - ws, 0.0).sum()
+            / jnp.maximum(n_capped, 1).astype(jnp.float32),
+            0.0)
     if global_fill is not None:
         out["global_fill"] = global_fill
     return out

@@ -79,6 +79,10 @@ class TrainConfig:
     error_map: bool = False          # error-guided ray sampling (--error_map)
     eval_chunk: int = 16384
     budget_autotune: bool = True     # shrink samples_per_ray_budget to live p99
+    # never shrink the budget while capped rays' mean residual transmittance
+    # exceeds this (they'd be losing visible radiance to truncation); above
+    # the composite's t_thresh=1e-4 early-exit floor, below perceptible loss
+    budget_trunc_tol: float = 3e-3
     seed: int = 0
 
 
@@ -172,6 +176,7 @@ class Trainer:
         self._budget_retunes = 0
         self._global_retunes = 0
         self._budget_p99_ema = None
+        self._trunc_T_ema = None
         self._budget_max = render_cfg.samples_per_ray_budget
         self._base_render_cfg = render_cfg   # configured (pre-retune) shapes
         self.clip_loss = None          # set via set_clip_guidance (--rand_pose)
@@ -303,15 +308,27 @@ class Trainer:
                 and self._budget_retunes < 4 and "samples_p99" in aux):
             p99 = float(aux["samples_p99"])
             over = float(aux["overflow_frac"])
+            trunc_T = float(aux.get("trunc_T", 1.0))
             e = self._budget_p99_ema
             self._budget_p99_ema = p99 if e is None else 0.5 * e + 0.5 * p99
+            tt = getattr(self, "_trunc_T_ema", None)
+            self._trunc_T_ema = trunc_T if tt is None else 0.5 * tt + 0.5 * trunc_T
             cfg = self.render_cfg
             cur = cfg.samples_per_ray_budget
-            if over > 0.02:
+            tol = self.cfg.budget_trunc_tol
+            if over > 0.02 and self._trunc_T_ema > tol:
+                # capped rays still transmissive: truncation is discarding
+                # visible radiance — grow toward the configured ceiling
                 target = min(self._budget_max, cur * 2)
             else:
-                target = int(_m.ceil(self._budget_p99_ema * 1.3 / 4) * 4)
-                target = min(self._budget_max, max(8, target))
+                # either the demand tail fits, or every capped ray is already
+                # opaque (trunc_T ~ 0: the cut tail is occluded — scenes like
+                # the driver bench where p99 demand is huge but worthless).
+                # Size to min(p99 rule, live-mean rule), floor 8.
+                t_p99 = int(_m.ceil(self._budget_p99_ema * 1.3 / 4) * 4)
+                t_mean = int(_m.ceil(
+                    float(aux.get("samples_mean", cur)) * 1.4 / 4) * 4)
+                target = min(self._budget_max, max(8, min(t_p99, t_mean)))
             if target > cur or target < int(cur * 0.75):
                 self.render_cfg = dataclasses.replace(
                     cfg, samples_per_ray_budget=target)
@@ -472,7 +489,8 @@ class Trainer:
             loss = loss + cfg.z_variance_reg * out["z_variance"].mean()
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
-        for k in ("samples_p99", "overflow_frac", "global_fill"):
+        for k in ("samples_p99", "overflow_frac", "global_fill", "trunc_T",
+                  "samples_mean"):
             if k in out:
                 aux[k] = out[k]
         if err_info is not None:
