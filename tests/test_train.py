@@ -288,3 +288,39 @@ class TestBudgetAutotune:
         assert "trunc_T" in aux and "samples_mean" in aux
         t = float(aux["trunc_T"])
         assert 0.0 <= t <= 1.0 + 1e-6
+
+    def test_span_tune_gated_by_span_trunc_T(self):
+        """The num_coarse span tune may shrink toward the live span p99 only
+        while spatially-truncated rays end opaque; with visible residual it
+        must not shrink below the bbox-exact span."""
+        import jax.numpy as jnp
+
+        def fresh():
+            t = tiny_setup(iters=40)
+            s = t.init_state()
+            return t, s._replace(occ=s.occ._replace(iter_density=jnp.int32(10)))
+
+        trainer, state = fresh()
+        cfg = trainer.render_cfg
+        import math
+        worst = int(math.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+        seg = 2.0 * math.sqrt(3.0) / cfg.max_steps * cfg.fine_per_coarse
+        aux = {"samples_p99": 4.0, "overflow_frac": 0.0, "trunc_T": 0.0,
+               "samples_mean": 3.0, "span_p99": worst * seg * 0.4,
+               "span_trunc_T": 0.0}
+        trainer._maybe_retune_march(state, aux)
+        tuned = trainer.render_cfg.num_coarse_override
+        assert tuned and tuned < worst
+
+        trainer2, state2 = fresh()
+        aux2 = dict(aux, span_trunc_T=0.5)
+        trainer2._maybe_retune_march(state2, aux2)
+        nc2 = trainer2.render_cfg.num_coarse_override
+        # only the (exact-safe) bbox tune may fire; never the span-p99 shrink
+        span_shrunk = int(math.ceil(aux["span_p99"] * 1.1 / seg)) + 2
+        span_shrunk = max(8, (span_shrunk + 7) // 8 * 8)
+        from trinerflet_tpu.render.renderer import tuned_num_coarse
+        import numpy as np
+        bbox_t = tuned_num_coarse(trainer2._base_render_cfg,
+                                  np.asarray(state2.occ.bbox))
+        assert nc2 == bbox_t or nc2 is None or nc2 == 0

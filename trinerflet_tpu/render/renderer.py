@@ -539,6 +539,13 @@ def render_occgrid(
         samples_p99 = jnp.quantile(demand, 0.99)
         overflow_frac = (demand > B).mean().astype(jnp.float32)
         capped = demand > B
+        # span stats for the trunc-T-gated num_coarse tune: rays whose
+        # [near, far) chord exceeds the marched span NC*F*dt are spatially
+        # truncated — content beyond the span is never probed. The tuner may
+        # shrink NC toward the live span p99 only while such rays end opaque.
+        span_ray = jnp.where(hit, fars_c - nears_c, 0.0)
+        span_p99 = jnp.quantile(span_ray, 0.99)
+        span_capped = span_ray > (num_coarse * F) * (2.0 * RM.SQRT3 / steps) * 0.995
         if cfg.compaction == "global" and cfg.global_slots_per_ray > 0:
             # second-stage global compaction: field/gather volume scales with
             # the live MEAN samples/ray instead of the p99-sized budget B
@@ -635,6 +642,14 @@ def render_occgrid(
             n_capped > 0,
             jnp.where(capped, 1.0 - ws, 0.0).sum()
             / jnp.maximum(n_capped, 1).astype(jnp.float32),
+            0.0)
+    if hierarchical:
+        out["span_p99"] = span_p99
+        n_sc = span_capped.sum()
+        out["span_trunc_T"] = jnp.where(
+            n_sc > 0,
+            jnp.where(span_capped, 1.0 - ws, 0.0).sum()
+            / jnp.maximum(n_sc, 1).astype(jnp.float32),
             0.0)
     if global_fill is not None:
         out["global_fill"] = global_fill

@@ -177,6 +177,8 @@ class Trainer:
         self._global_retunes = 0
         self._budget_p99_ema = None
         self._trunc_T_ema = None
+        self._span_trunc_ema = None
+        self._span_p99_ema = None
         self._budget_max = render_cfg.samples_per_ray_budget
         self._base_render_cfg = render_cfg   # configured (pre-retune) shapes
         self.clip_loss = None          # set via set_clip_guidance (--rand_pose)
@@ -294,13 +296,42 @@ class Trainer:
         import math as _m
 
         if self._march_retunes < 4:
-            target = R.tuned_num_coarse(cfg, np.asarray(state.occ.bbox))
-            if target is not None:
+            bbox_t = R.tuned_num_coarse(cfg, np.asarray(state.occ.bbox))
+            # span-p99 tune: size the marched span to the live per-ray chord
+            # distribution instead of the worst-case corner diagonal (most
+            # camera rays cross a far shorter chord). Gated on span_trunc_T:
+            # spatially-truncated rays must already end opaque, the same
+            # quality guarantee as the budget tuner. Train cfg only — eval
+            # keeps the exact (bbox-safe) span.
+            span_t = None
+            seg = 2.0 * _m.sqrt(3.0) / cfg.max_steps * cfg.fine_per_coarse
+            worst = int(_m.ceil(cfg.bound * cfg.max_steps / cfg.fine_per_coarse))
+            if (self.cfg.budget_autotune and aux is not None
+                    and "span_p99" in aux):
+                stt = float(aux["span_trunc_T"])
+                e = self._span_trunc_ema
+                self._span_trunc_ema = stt if e is None else 0.5 * e + 0.5 * stt
+                sp = float(aux["span_p99"])
+                es = self._span_p99_ema
+                self._span_p99_ema = sp if es is None else 0.5 * es + 0.5 * sp
+                if self._span_trunc_ema <= self.cfg.budget_trunc_tol:
+                    span_t = int(_m.ceil(self._span_p99_ema * 1.1 / seg)) + 2
+                    span_t = min(worst, max(8, (span_t + 7) // 8 * 8))
+                elif cfg.num_coarse_override:
+                    # truncated rays are losing visible mass: grow back
+                    span_t = worst
+            cands = [t for t in (bbox_t, span_t) if t is not None]
+            target = min(cands) if cands else None
+            cur = cfg.num_coarse_override or worst
+            if target is not None and (target < int(cur * 0.9) or target > cur):
                 self.render_cfg = dataclasses.replace(cfg, num_coarse_override=target)
-                # eval derives from the CONFIGURED cfg (tuned span, original
-                # budget) so a tuned train budget never shallows test renders
+                # eval derives from the CONFIGURED cfg (exact-safe bbox span,
+                # original budget) so train-time tuning never shallows eval
                 self.eval_render_cfg = dataclasses.replace(
-                    self._base_render_cfg, num_coarse_override=target).for_eval()
+                    self._base_render_cfg,
+                    num_coarse_override=bbox_t
+                    or self._base_render_cfg.num_coarse_override,
+                ).for_eval()
                 self._march_retunes += 1
                 self._build_jits()
 
@@ -490,7 +521,7 @@ class Trainer:
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
         for k in ("samples_p99", "overflow_frac", "global_fill", "trunc_T",
-                  "samples_mean"):
+                  "samples_mean", "span_p99", "span_trunc_T"):
             if k in out:
                 aux[k] = out[k]
         if err_info is not None:
