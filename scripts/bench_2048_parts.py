@@ -78,8 +78,15 @@ def main():
     force(aux["loss"])
     print(f"mean samples/ray {float(aux['num_samples'])/N_RAYS:.1f}", flush=True)
 
-    step = jax.jit(trainer._train_step_impl)
-    timeit("full train step (2048^2/32ch)", lambda: step(state, data), reps=5)
+    # time the trainer's own DONATED step in a chained window (re-jitting
+    # without donation doubles the ~8 GB state -> the r4 OOM)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, aux = trainer._train_step(state, data)
+        force(aux["loss"])
+        print(f"full train step (2048^2/32ch, chained x10)          : "
+              f"{(time.perf_counter() - t0) / 10 * 1e3:9.2f} ms", flush=True)
 
     # isolated sampler paths at live-ish M
     B = trainer.render_cfg.samples_per_ray_budget
@@ -117,9 +124,15 @@ def main():
 
     wN = jnp.asarray(rng.random((M, 4)).astype(np.float32))
     gN = jnp.asarray(rng.normal(size=(M, CH)).astype(np.float32))
-    fo = jax.jit(lambda i, w, g: blocked_scatter_add_outer(
-        i, w, g, RES * RES, precision="default"))
-    timeit(f"scatter outer N={M} w4 x g{CH} -> 4C (factored)", fo, idxN, wN, gN)
+    # (tile, block) sweep: at 2048^2 the live rows spread over 4x more tiles
+    # than at 1024^2 (~500 rows/touched tile vs ~2100), so the matmul FLOPs
+    # (= rows_processed * tile * D) favor far smaller tiles/blocks here
+    for tile, block in ((2048, 2048), (2048, 1024), (1024, 1024),
+                        (1024, 512), (512, 512), (4096, 2048)):
+        fo = jax.jit(lambda i, w, g, t=tile, b=block: blocked_scatter_add_outer(
+            i, w, g, RES * RES, tile=t, block=b, precision="default"))
+        timeit(f"scatter outer w4 x g{CH} tile={tile} block={block}",
+               fo, idxN, wN, gN)
 
     # corner form: 4N rows x C
     idx4N = np.repeat(np.asarray(idxN), 4)

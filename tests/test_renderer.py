@@ -158,6 +158,47 @@ class TestOccgridPath:
             np.asarray(hier["weights_sum"]), np.asarray(flat["weights_sum"]), atol=5e-3
         )
 
+    def test_brick_occupancy_bit_identical(self):
+        """The bit-packed 8^3-brick occupancy tables (pack_occ_bricks) are a
+        pure LAYOUT change: every lookup and the full hierarchical march must
+        return exactly the same bits/samples as the bool-grid path."""
+        from trinerflet_tpu.ops import raymarch as RM
+        rng = np.random.default_rng(7)
+        G, CAS, N = 32, 2, 256
+        occ = jnp.asarray(rng.random((CAS, G, G, G)) < 0.07)
+        occ_coarse = R._dilate3(occ)
+        bricks = RM.pack_occ_bricks(occ)
+        cbricks = RM.pack_occ_bricks(occ_coarse)
+        assert bricks.shape == (CAS * (G // 8) ** 3, 16)
+        assert RM.pack_occ_bricks(jnp.zeros((1, 12, 12, 12), bool)) is None
+
+        pts = jnp.asarray(rng.uniform(-1.9, 1.9, (N, 17, 3)), jnp.float32)
+        dts = jnp.asarray(rng.uniform(1e-3, 0.1, (N, 17)), jnp.float32)
+        a = RM.occupancy_lookup(occ, pts, dts, grid_size=G, cascades=CAS,
+                                bound=2.0)
+        b = RM.occupancy_lookup(occ, pts, dts, grid_size=G, cascades=CAS,
+                                bound=2.0, bricks=bricks)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        o = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)), jnp.float32)
+        d = rng.standard_normal((N, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+        aabb = jnp.asarray([-2, -2, -2, 2, 2, 2], jnp.float32)
+        nears, fars = RM.near_far_from_aabb(o, d, aabb, 0.05)
+        nears = jnp.where(nears < 1e30, nears, 0.0)
+        fars = jnp.where(fars < 1e30, fars, 0.0)
+        noise = jnp.asarray(rng.random(N), jnp.float32)
+        kw = dict(num_coarse=32, fine_per_coarse=8, coarse_budget=12,
+                  budget=24, max_steps=256, grid_size=G, cascades=CAS,
+                  bound=2.0, dt_gamma=0.0, occ_test_stride=2)
+        t1, dt1, m1, s1 = RM.march_hierarchical(
+            o, d, nears, fars, occ, occ_coarse, noise, **kw)
+        t2, dt2, m2, s2 = RM.march_hierarchical(
+            o, d, nears, fars, occ, occ_coarse, noise, bricks, cbricks, **kw)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
     def test_strided_occ_test_jitters_only_run_boundaries(self):
         """occ_test_stride probes the fine grid once per `s` candidates
         (nearest assignment): vs the exact per-candidate test, validity may

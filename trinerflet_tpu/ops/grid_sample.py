@@ -208,21 +208,26 @@ def _corner_fwd(plane, coords):
 
 
 def _corner_bwd(res, g):
-    from .scatter import scatter_add_rows
+    from .scatter import scatter_add_outer
 
     idx, w, marker, cmarker = res
     H, W, C = marker.shape[1:]
-    rows = (w[..., None] * g[:, None, :]).reshape(-1, C).astype(jnp.float32)
-    # zero-cotangent samples (ray padding, early termination) -> the scatter's
-    # drop sentinel: exact, and with the dynamic-trip block loop they cost no
-    # matmul blocks (all 4 corner rows of a dead sample are zero).
-    live = jnp.any(g != 0, axis=1)
-    idx = jnp.where(live[:, None], idx, H * W).reshape(-1)
+    # Factored QUAD-shaped backward: the 4 corner contributions of sample n
+    # are outer(w[n], g[n]) rows landing at the quad-structured offsets
+    # (idx00, +1, +W, +W+1) — exactly the quad table's gradient. ONE outer
+    # scatter keyed on idx00 accumulates (H*W, 4C) and the dense shifted-add
+    # unpack folds it to texels. vs the previous (4N, C) row scatter this
+    # sorts N keys instead of 4N and reorders (K+C)-narrow bf16 factors
+    # instead of 4N full f32 rows: measured 101 vs 167 ms at 2048^2/32ch
+    # (scripts/bench_r4_probes2 probe 4). Transient cost: the (H*W, 4C) f32
+    # gradient buffer (2.1 GB at 2048^2/32ch, vs the old path's (H*W, C) —
+    # verified to fit beside the stage-3 state on one v5e).
+    idx00 = idx[:, 0]  # _corner_fwd stacked (idx00, +1, +W, +W+1)
     prec = "default" if marker.dtype == jnp.bfloat16 else "highest"
-    gq = scatter_add_rows(idx, rows, H * W, precision=prec, trip="dynamic")
-    return gq.reshape(H, W, C).astype(marker.dtype), jnp.zeros(
-        (g.shape[0], 2), cmarker.dtype
-    )
+    gq = scatter_add_outer(idx00, w, g.astype(jnp.float32), H * W,
+                           precision=prec)
+    g_plane = _quad_unpack_grad(gq.reshape(H, W, 4 * C)).astype(marker.dtype)
+    return g_plane, jnp.zeros((g.shape[0], 2), cmarker.dtype)
 
 
 grid_sample_2d_corner.defvjp(lambda p, c: _corner_fwd(p, c), _corner_bwd)

@@ -126,16 +126,103 @@ def occupancy_lookup(
     grid_size: int,
     cascades: int,
     bound: float,
+    bricks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Occupancy-grid test at arbitrary points — the exact cell-addressing
     law the march uses (raymarching.cu:43-55 mip selection + voxel quantize).
-    One flat row gather; returns bool of pts' leading shape."""
+    One flat row gather; returns bool of pts' leading shape. With ``bricks``
+    (pack_occ_bricks of the same grid) the gather reads 64 B brick rows from
+    a 32x smaller table instead — identical bits, ~2.5x faster (PERF.md)."""
     lvl = _mip_level(pts, dts, grid_size, cascades)
     mip_bound = jnp.minimum(jnp.exp2(lvl.astype(pts.dtype)), bound)
     q = 0.5 * (pts / mip_bound[..., None] + 1.0) * grid_size
     q = jnp.clip(q, 0.0, grid_size - 1).astype(jnp.int32)
+    if bricks is not None:
+        return _occupancy_bits_from_bricks(bricks, lvl, q, grid_size)
     flat = ((lvl * grid_size + q[..., 0]) * grid_size + q[..., 1]) * grid_size + q[..., 2]
     return jnp.take(grid_bool.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+
+
+def pack_occ_bricks(occ: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Bit-pack a (CAS, H, H, H) bool occupancy grid into 8^3-cell bricks:
+    (CAS * (H/8)^3, 16) uint32 rows of 512 bits each.
+
+    Why: TPU gather cost is TABLE-SIZE dependent (cache residency) and
+    row-take-shaped: measured ~3.9 ns per 64 B row from this 0.5 MB table vs
+    ~8.8 ns per element from the 4 MB bool grid (and ~8 ns per SCALAR word
+    even from the small table — the row form is what's fast;
+    scripts/bench_brick_fetch.py). Packing 512 cells per 64 B row shrinks
+    the occupancy tables 32x into the fast zone; the march gathers one brick
+    row per probe and extracts the probe's bit with lanes-full vector ops —
+    the same bit the bool gather would have returned, so this is a pure
+    layout change (bit-equality tested). Returns None when H is not a
+    multiple of 8 (tiny test grids fall back to the bool path)."""
+    C, H = occ.shape[0], occ.shape[1]
+    if H % 8 != 0:
+        return None
+    nb = H // 8
+    x = occ.reshape(C, nb, 8, nb, 8, nb, 8)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6))  # (C, nb, nb, nb, 8, 8, 8)
+    bits = x.reshape(C * nb * nb * nb, 16, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return (bits * weights).sum(axis=-1, dtype=jnp.uint32)  # (rows, 16)
+
+
+# (128, 8) f32 constant summing each 16-lane group of a lanes-full row:
+# column g sums lanes [16g, 16(g+1))
+def _group_sum_matrix() -> jnp.ndarray:
+    import numpy as _np
+
+    return jnp.asarray(_np.kron(_np.eye(8), _np.ones((16, 1))), jnp.float32)
+
+
+def _occupancy_bits_from_bricks(
+    bricks: jnp.ndarray,  # (CAS * nb^3, 16) uint32
+    lvl: jnp.ndarray,     # (...,) int32 cascade per probe
+    q: jnp.ndarray,       # (..., 3) int32 cell coords in [0, H)
+    grid_size: int,
+) -> jnp.ndarray:
+    """Per-probe occupancy bits: one 64 B brick-row gather per probe, then
+    extraction entirely in a lanes-full (M/8, 128) layout.
+
+    Layout care is the whole game here: naive per-word column slices of the
+    fetched (M, 16) rows get tile-padded up to 170x by the TPU's (8, 128)
+    tiling (a 17 GB OOM at bench scale), and elementwise ops on (M, 16)
+    arrays pay 8x padded traffic. Reshaping the fetched rows to (M/8, 128)
+    packs 8 probes' words per full vector register row; the word one-hot,
+    variable shift, and bit mask all run compact, and the per-probe group
+    sum is one tiny (M/8, 128) @ (128, 8) matmul. Measured 16.3 ms for the
+    bench coarse phase vs 32.1 ms for the bool-grid gather
+    (scripts/bench_brick_fetch.py v2 chain)."""
+    nb = grid_size // 8
+    b = q // 8
+    i = q % 8
+    brick = ((lvl * nb + b[..., 0]) * nb + b[..., 1]) * nb + b[..., 2]
+    inbrick = (i[..., 0] * 8 + i[..., 1]) * 8 + i[..., 2]
+    shape = brick.shape
+    brick = brick.reshape(-1)
+    inbrick = inbrick.reshape(-1)
+    M0 = brick.shape[0]
+    M = -(-M0 // 8) * 8
+    if M != M0:
+        brick = jnp.concatenate([brick, jnp.zeros((M - M0,), brick.dtype)])
+        inbrick = jnp.concatenate([inbrick, jnp.zeros((M - M0,), inbrick.dtype)])
+    word = inbrick // 32                        # (M,) in [0, 16)
+    shift = (inbrick % 32).astype(jnp.uint32)   # (M,)
+    rows = jnp.take(bricks, brick, axis=0)      # (M, 16) u32
+    packed = rows.reshape(M // 8, 128)
+    g8 = (M // 8, 8, 16)
+    sh128 = jnp.broadcast_to(shift.reshape(M // 8, 8, 1), g8).reshape(M // 8, 128)
+    w128 = jnp.broadcast_to(word.reshape(M // 8, 8, 1), g8).reshape(M // 8, 128)
+    lane16 = jnp.broadcast_to(
+        jnp.arange(16, dtype=jnp.int32)[None, None, :], g8).reshape(M // 8, 128)
+    bits = ((packed >> sh128) & jnp.uint32(1)).astype(jnp.float32)
+    bits = bits * (w128 == lane16).astype(jnp.float32)
+    occ8 = jax.lax.dot_general(
+        bits, _group_sum_matrix(), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (M/8, 8): each probe's one-hot-masked bit
+    return (occ8.reshape(-1)[:M0] > 0.5).reshape(shape)
 
 
 def dt_ladder(
@@ -483,7 +570,7 @@ def first_k_valid(
     static_argnames=(
         "num_coarse", "fine_per_coarse", "coarse_budget", "budget",
         "max_steps", "grid_size", "cascades", "bound", "dt_gamma",
-        "occ_test_stride",
+        "occ_test_stride", "coarse_test_stride",
     ),
 )
 def march_hierarchical(
@@ -494,6 +581,8 @@ def march_hierarchical(
     occ: jnp.ndarray,          # (CAS, H, H, H) bool, fine grid
     occ_coarse: jnp.ndarray,   # (CAS, H, H, H) bool, 3^3 max-pooled fine grid
     noise: jnp.ndarray,
+    occ_bricks: Optional[jnp.ndarray] = None,         # pack_occ_bricks(occ)
+    occ_coarse_bricks: Optional[jnp.ndarray] = None,  # pack_occ_bricks(occ_coarse)
     *,
     num_coarse: int,           # coarse segments per ray
     fine_per_coarse: int,      # fine candidates per coarse segment
@@ -505,6 +594,7 @@ def march_hierarchical(
     bound: float = 1.0,
     dt_gamma: float = 0.0,
     occ_test_stride: int = 1,
+    coarse_test_stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-level occupancy marching (TPU redesign of the CUDA voxel-skipping
     loop, raymarching.cu:384-399).
@@ -527,16 +617,37 @@ def march_hierarchical(
     seg = dt * fine_per_coarse
     t0 = nears + dt * noise
 
-    def occ_lookup(grid_bool, pts, dts):
+    def occ_lookup(grid_bool, pts, dts, bricks=None):
         return occupancy_lookup(grid_bool, pts, dts, grid_size=grid_size,
-                                cascades=cascades, bound=bound)
+                                cascades=cascades, bound=bound, bricks=bricks)
 
     # ---- level 1: coarse segments
     kc = jnp.arange(num_coarse, dtype=rays_o.dtype)
     t_mid = t0[:, None] + seg * kc[None, :] + 0.5 * seg          # (N, Sc)
-    pts_c = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
-    pts_c = jnp.clip(pts_c, -bound, bound)
-    occ_c = occ_lookup(occ_coarse, pts_c, jnp.full_like(t_mid, dt))
+    if coarse_test_stride > 1:
+        # strided coarse testing: probe one group-center point per
+        # `coarse_test_stride` consecutive segments against the dilated grid
+        # and broadcast the probe's occupancy to its group. The dilation
+        # radius grows with the stride (coarse_dilation_radius) so the probe
+        # still covers the whole group up to the radius cap; beyond the cap
+        # this keeps the same partial-coverage behavior as the fine stride
+        # (occupied-run endpoints jitter by up to +-stride/2 segments; the
+        # hard-scene quality A/B gates the default). Halves/thirds the
+        # coarse gather volume — the march's dominant phase (PERF.md).
+        cs = coarse_test_stride
+        n_probe = -(-num_coarse // cs)
+        kp = jnp.arange(n_probe, dtype=rays_o.dtype)
+        t_pm = t0[:, None] + seg * (cs * kp[None, :] + 0.5 * cs)
+        pts_p = rays_o[:, None, :] + rays_d[:, None, :] * t_pm[..., None]
+        pts_p = jnp.clip(pts_p, -bound, bound)
+        occ_p = occ_lookup(occ_coarse, pts_p, jnp.full_like(t_pm, dt),
+                           bricks=occ_coarse_bricks)
+        occ_c = jnp.repeat(occ_p, cs, axis=-1)[:, :num_coarse]
+    else:
+        pts_c = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        pts_c = jnp.clip(pts_c, -bound, bound)
+        occ_c = occ_lookup(occ_coarse, pts_c, jnp.full_like(t_mid, dt),
+                           bricks=occ_coarse_bricks)
     valid_c = occ_c & (t_mid - 0.5 * seg < fars[:, None])
     seg_idx, seg_mask, seg_stride = first_k_valid(valid_c, coarse_budget, spread=True)
 
@@ -564,12 +675,14 @@ def march_hierarchical(
         t_p = t_seg0[..., None] + dt * (s * kp[None, None, :] + 0.5 * (s - 1))
         pts_p = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_p[..., None]
         pts_p = jnp.clip(pts_p, -bound, bound)
-        occ_p = occ_lookup(occ, pts_p, jnp.full_like(t_p, dt))
+        occ_p = occ_lookup(occ, pts_p, jnp.full_like(t_p, dt),
+                           bricks=occ_bricks)
         occ_f = jnp.repeat(occ_p, s, axis=-1)[..., :fine_per_coarse]
     else:
         pts_f = rays_o[:, None, None, :] + rays_d[:, None, None, :] * t_f[..., None]
         pts_f = jnp.clip(pts_f, -bound, bound)
-        occ_f = occ_lookup(occ, pts_f, jnp.full_like(t_f, dt))
+        occ_f = occ_lookup(occ, pts_f, jnp.full_like(t_f, dt),
+                           bricks=occ_bricks)
     valid_f = occ_f & seg_mask[..., None] & (t_f < fars[:, None, None])
     valid_f = valid_f.reshape(N, coarse_budget * fine_per_coarse)
     t_f = t_f.reshape(N, coarse_budget * fine_per_coarse)

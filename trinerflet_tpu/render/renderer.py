@@ -90,6 +90,13 @@ class RenderConfig:
     # for_eval() always forces the exact test so reported metrics never
     # depend on probe placement.
     occ_test_stride: int = 0
+    # coarse occupancy-test stride: probe one group-center per this many
+    # coarse segments against the dilated grid and broadcast to the group
+    # (see march_hierarchical). The dilation radius scales with the stride
+    # (capped at 3), so up to the cap the probe covers its whole group.
+    # 1 = exact per-segment test; 0 = auto (resolves to 1: the hard-scene
+    # quality A/B rejected 2/3 — see resolved_coarse_test_stride).
+    coarse_test_stride: int = 0
     # Diagnostic (quality protocol check 1): zero sigma at dense-path samples
     # whose occupancy cell is off. An occgrid-trained field is unsupervised
     # in unoccupied space, so the plain dense integral picks up free-space
@@ -105,18 +112,31 @@ class RenderConfig:
         dt = 2.0 * math.sqrt(3.0) / self.max_steps
         return max(1, min(self.fine_per_coarse, int(cell / (2.0 * dt))))
 
+    def resolved_coarse_test_stride(self) -> int:
+        """0 = auto: stride 1 (exact). The hard-scene training A/B REJECTED
+        stride 2/3: -4.6/-5.0 dB (BENCH_notes r4_coarse_stride_quality_ab) —
+        the stride->radius-3 dilation inflates coarse fill and dilutes the
+        spread-selected segment budget, the same failure mode as the static
+        F/B cuts. The knob stays for scenes whose demand is known-light;
+        for_eval() forces the exact test either way."""
+        if self.coarse_test_stride != 0:
+            return max(1, self.coarse_test_stride)
+        return 1
+
     @property
     def coarse_dilation_radius(self) -> int:
-        """Dilation radius of occ_coarse so the coarse MIDPOINT test covers
-        the whole segment: the midpoint sits up to seg/2 = fine_per_coarse *
-        dt/2 from any candidate, which is more than one (inner-cascade) voxel
-        at the Blender recipes (~1.3 cells at F=12/grid 128/max_steps 1024) —
-        a radius-1 dilation could skip a segment whose occupancy hugs its
-        end. Outer cascades have larger cells, so the cascade-0 radius is
-        conservative everywhere."""
+        """Dilation radius of occ_coarse so the coarse group-center test
+        covers its whole probe group: a probe stands for ``coarse_test_stride``
+        consecutive segments, so any candidate sits up to stride * seg/2 =
+        stride * fine_per_coarse * dt/2 from the probe — more than one
+        (inner-cascade) voxel at the Blender recipes (~1.3 cells at stride 1/
+        F=12/grid 128/max_steps 1024): a radius-1 dilation could skip a
+        segment whose occupancy hugs its end. Outer cascades have larger
+        cells, so the cascade-0 radius is conservative everywhere."""
         cell = 2.0 * min(1.0, self.bound) / self.grid_size
         dt = 2.0 * math.sqrt(3.0) / self.max_steps
-        seg_cells = self.fine_per_coarse * dt / cell
+        seg_cells = (self.resolved_coarse_test_stride()
+                     * self.fine_per_coarse * dt / cell)
         # capped: at large dt/grid ratios full coverage would need a huge
         # radius and occ_coarse would saturate to all-true — beyond 3 the
         # coarse level keeps the (pre-round-3) partial-coverage behavior
@@ -156,11 +176,14 @@ class RenderConfig:
             self.eval_samples_per_ray == self.samples_per_ray_budget
         ):
             # eval always uses the exact dense layout and the exact (stride-1)
-            # fine occupancy test: a tail-dropping shared buffer or jittered
-            # occupied-run endpoints must never touch reported metrics
-            if self.compaction == "global" or self.resolved_occ_test_stride() != 1:
+            # fine/coarse occupancy tests: a tail-dropping shared buffer or
+            # jittered occupied-run endpoints must never touch reported metrics
+            if (self.compaction == "global"
+                    or self.resolved_occ_test_stride() != 1
+                    or self.resolved_coarse_test_stride() != 1):
                 return dataclasses.replace(
-                    self, compaction="per_ray", occ_test_stride=1)
+                    self, compaction="per_ray", occ_test_stride=1,
+                    coarse_test_stride=1)
             return self
         e = self.eval_samples_per_ray
         return dataclasses.replace(
@@ -168,6 +191,7 @@ class RenderConfig:
             samples_per_ray_budget=e,
             compaction="per_ray",
             occ_test_stride=1,
+            coarse_test_stride=1,
             coarse_budget=max(self.coarse_budget, -(-e // self.fine_per_coarse) + 2),
         )
 
@@ -187,17 +211,30 @@ class OccupancyState(NamedTuple):
     bbox: jnp.ndarray = None    # (6,) float32 world AABB of occupied cells
                                 # (+1 voxel margin); rays are clipped to it so
                                 # empty scene margin costs no march candidates
+    # bit-packed 8^3-brick layouts of occ / occ_coarse (pack_occ_bricks):
+    # identical bits in a 32x smaller table, which gathers ~2.5x faster on
+    # TPU (PERF.md). None when grid_size % 8 != 0. Trailing defaults keep
+    # pre-brick pickled checkpoints loadable (NamedTuple positional unpickle).
+    occ_bricks: jnp.ndarray = None
+    occ_coarse_bricks: jnp.ndarray = None
 
 
 def init_occupancy(cfg: RenderConfig) -> OccupancyState:
+    from ..ops.raymarch import pack_occ_bricks
+
     H, C = cfg.grid_size, cfg.cascades
+    # NOTE: every field must be a DISTINCT buffer — the donated train step
+    # rejects aliased arguments ("attempt to donate the same buffer twice")
+    occ = jnp.zeros((C, H, H, H), bool)
     return OccupancyState(
         density_grid=jnp.zeros((C, H**3), jnp.float32),
-        occ=jnp.zeros((C, H, H, H), bool),
+        occ=occ,
         occ_coarse=jnp.zeros((C, H, H, H), bool),
         mean_density=jnp.zeros((), jnp.float32),
         iter_density=jnp.zeros((), jnp.int32),
         bbox=jnp.asarray(cfg.aabb, jnp.float32),
+        occ_bricks=pack_occ_bricks(occ),
+        occ_coarse_bricks=pack_occ_bricks(jnp.zeros((C, H, H, H), bool)),
     )
 
 
@@ -353,13 +390,18 @@ def update_density_grid(
     mean_density = jnp.mean(jnp.clip(new_grid, min=0))
     thresh = jnp.minimum(mean_density, cfg.density_thresh) * cfg.occ_thresh_scale
     occ = (new_grid > thresh).reshape(C, H, H, H)
+    from ..ops.raymarch import pack_occ_bricks
+
+    occ_coarse = _dilate3(occ, cfg.coarse_dilation_radius)
     return OccupancyState(
         density_grid=new_grid,
         occ=occ,
-        occ_coarse=_dilate3(occ, cfg.coarse_dilation_radius),
+        occ_coarse=occ_coarse,
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
         bbox=_occupied_bbox(occ, cfg),
+        occ_bricks=pack_occ_bricks(occ),
+        occ_coarse_bricks=pack_occ_bricks(occ_coarse),
     )
 
 
@@ -487,6 +529,8 @@ def render_occgrid(
     max_steps: Optional[int] = None,
     occ_coarse: Optional[jnp.ndarray] = None,
     occ_bbox: Optional[jnp.ndarray] = None,
+    occ_bricks: Optional[jnp.ndarray] = None,
+    occ_coarse_bricks: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """March + compact + field + composite (one path for train and eval).
 
@@ -524,10 +568,12 @@ def render_occgrid(
         num_coarse = cfg.num_coarse_override or int(math.ceil(cfg.bound * steps / F))
         t, dt_scalar, mask, stride = RM.march_hierarchical(
             rays_o, rays_d, nears_c, fars_c, occ, occ_coarse, noise,
+            occ_bricks, occ_coarse_bricks,
             num_coarse=num_coarse, fine_per_coarse=F,
             coarse_budget=cfg.coarse_budget, budget=B, max_steps=steps,
             grid_size=cfg.grid_size, cascades=cfg.cascades, bound=cfg.bound,
             dt_gamma=0.0, occ_test_stride=cfg.resolved_occ_test_stride(),
+            coarse_test_stride=cfg.resolved_coarse_test_stride(),
         )
         dt = jnp.where(mask, dt_scalar * stride[:, None], 0.0)
         t0 = nears_c + dt_scalar * noise

@@ -97,6 +97,14 @@ def build(cfg_dict, workspace):
     elif g_kind == "resize":
         assert scene is not None, "resize guidance needs a data section"
         guidance = make_resize_guidance(gcfg, scale=scene.scale)
+    elif g_kind == "cond":
+        # conditioning-faithful SDEdit: runs the FULL DDIM tail on-chip with
+        # a weights-free denoiser that only sees real-denoiser inputs (the
+        # noisy latents + the noised LR conditioning) — the drop-in seam for
+        # a real SD x4-upscaler checkpoint (kind='diffusion')
+        from .guidance import make_cond_guidance
+
+        guidance = make_cond_guidance(gcfg)
     elif g_kind in ("diffusion", "text2img"):
         guidance = build_diffusion_guidance(gcfg, weights, workspace, kind=g_kind)
     else:

@@ -188,7 +188,8 @@ class SRSystem:
             field_fn, rays_o, rays_d, occ.occ,
             self.render_cfg if train else self.eval_render_cfg,
             rng=rng, bg_color=bg, perturb=perturb, occ_coarse=occ.occ_coarse,
-            occ_bbox=occ.bbox,
+            occ_bbox=occ.bbox, occ_bricks=occ.occ_bricks,
+            occ_coarse_bricks=occ.occ_coarse_bricks,
         )
 
     def _apply_updates(self, state, grads, aux):

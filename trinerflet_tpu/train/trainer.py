@@ -230,6 +230,8 @@ class Trainer:
                 field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
                 rng=rng, bg_color=bg, perturb=True,
                 occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
+                occ_bricks=occ.occ_bricks,
+                occ_coarse_bricks=occ.occ_coarse_bricks,
             )
         else:
             out = R.render_dense(
@@ -480,6 +482,8 @@ class Trainer:
                 field_fn, rays_o, rays_d, occ.occ, self.render_cfg,
                 rng=k_perturb, bg_color=bg, perturb=True,
                 occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
+                occ_bricks=occ.occ_bricks,
+                occ_coarse_bricks=occ.occ_coarse_bricks,
             )
         elif cfg.renderer == "proposal":
             from ..render.proposal import render_proposal
@@ -603,7 +607,8 @@ class Trainer:
             return R.render_occgrid(
                 field_fn, rays_o, rays_d, occ.occ, rcfg,
                 bg_color=bg_color, perturb=False, occ_coarse=occ.occ_coarse,
-                occ_bbox=occ.bbox,
+                occ_bbox=occ.bbox, occ_bricks=occ.occ_bricks,
+                occ_coarse_bricks=occ.occ_coarse_bricks,
             )
         if self.cfg.renderer == "proposal":
             from ..render.proposal import render_proposal
@@ -847,11 +852,16 @@ class Trainer:
             * self.render_cfg.occ_thresh_scale
         )
         occ_bits = jnp.asarray(payload["density_grid"] > thresh).reshape(C, H, H, H)
+        from ..ops.raymarch import pack_occ_bricks
+
+        occ_coarse_bits = R._dilate3(occ_bits,
+                                     self.render_cfg.coarse_dilation_radius)
         occ = occ._replace(
             occ=occ_bits,
-            occ_coarse=R._dilate3(occ_bits,
-                                  self.render_cfg.coarse_dilation_radius),
-            bbox=R._occupied_bbox(occ_bits, self.render_cfg))
+            occ_coarse=occ_coarse_bits,
+            bbox=R._occupied_bbox(occ_bits, self.render_cfg),
+            occ_bricks=pack_occ_bricks(occ_bits),
+            occ_coarse_bricks=pack_occ_bricks(occ_coarse_bits))
         to_dev = lambda t: jax.tree.map(jnp.asarray, t)
         state = state._replace(
             params=to_dev(payload["params"]),
