@@ -32,8 +32,12 @@ from trinerflet_tpu.train.trainer import Trainer, TrainConfig
 N_RAYS = 32768
 RES, CH = 2048, 32
 
+import os
+
+QUADMAX = int(os.environ.get("B2048_QUADMAX", "1024"))
 nerf_cfg = NeRFConfig(
-    triplane=TriplaneConfig(channels=CH, resolution=RES, wavelet_scale=32),
+    triplane=TriplaneConfig(channels=CH, resolution=RES, wavelet_scale=32,
+                            quad_max_resolution=QUADMAX),
     bound=1.5, compute_dtype="bfloat16", plane_dtype="bfloat16",
 )
 render_cfg = R.RenderConfig(
@@ -68,7 +72,7 @@ def main():
     grid = R.mark_untrained_grid(scene.poses, scene.intrinsics, render_cfg)
     state = trainer.init_state(density_grid=grid)
     data = trainer.scene_to_device(scene)
-    print("warming 96 steps...", flush=True)
+    print(f"warming 96 steps (quad_max_resolution={QUADMAX})...", flush=True)
     aux = None
     for i in range(96):
         if i % 16 == 0:
@@ -87,69 +91,6 @@ def main():
         force(aux["loss"])
         print(f"full train step (2048^2/32ch, chained x10)          : "
               f"{(time.perf_counter() - t0) / 10 * 1e3:9.2f} ms", flush=True)
-
-    # isolated sampler paths at live-ish M
-    B = trainer.render_cfg.samples_per_ray_budget
-    M = N_RAYS * B
-    planes = jax.jit(trainer.field.build_planes)(state.params)
-    plane = planes["full"][0]  # (H, W, C) channel-last
-    print(f"plane shape {plane.shape} dtype {plane.dtype}", flush=True)
-    rng = np.random.default_rng(0)
-    coords = jnp.asarray(rng.uniform(-1, 1, (M, 2)).astype(np.float32))
-
-    from trinerflet_tpu.ops.grid_sample import grid_sample_2d_corner
-
-    f = jax.jit(lambda p, c: grid_sample_2d_corner(p, c).sum())
-    timeit(f"corner fwd M={M}", f, plane, coords)
-    g = jax.jit(jax.grad(lambda p: grid_sample_2d_corner(p, coords)
-                         .astype(jnp.float32).sum()))
-    timeit("corner fwd+bwd (live path)", g, plane)
-
-    # realistic index/liveness model: samples cluster in the occupied
-    # footprint (~35% of the plane) and ~45% of slots are dead (ray padding
-    # + early termination) -> routed to the drop sentinel by the live path
-    live_frac, fp_lo, fp_hi = 0.55, int(0.3 * RES * RES), int(0.65 * RES * RES)
-    idxN = rng.integers(fp_lo, fp_hi, M).astype(np.int32)
-    idxN[rng.random(M) > live_frac] = RES * RES  # sentinel
-    idxN = jnp.asarray(idxN)
-    pay4c = jnp.asarray(rng.normal(size=(M, 4 * CH)).astype(np.float32))
-
-    # quad-grad variant: one scatter of N rows x 4C into (H*W, 4C)
-    fq = jax.jit(lambda i, p: blocked_scatter_add(
-        i, p, RES * RES, precision="default", trip="dynamic"))
-    timeit(f"scatter N={M} rows x 4C={4*CH} (quad-grad form)", fq, idxN, pay4c)
-
-    # factored quad-grad: sort narrow [w|g] rows, outer product in-body
-    from trinerflet_tpu.ops.scatter import blocked_scatter_add_outer
-
-    wN = jnp.asarray(rng.random((M, 4)).astype(np.float32))
-    gN = jnp.asarray(rng.normal(size=(M, CH)).astype(np.float32))
-    # (tile, block) sweep: at 2048^2 the live rows spread over 4x more tiles
-    # than at 1024^2 (~500 rows/touched tile vs ~2100), so the matmul FLOPs
-    # (= rows_processed * tile * D) favor far smaller tiles/blocks here
-    for tile, block in ((2048, 2048), (2048, 1024), (1024, 1024),
-                        (1024, 512), (512, 512), (4096, 2048)):
-        fo = jax.jit(lambda i, w, g, t=tile, b=block: blocked_scatter_add_outer(
-            i, w, g, RES * RES, tile=t, block=b, precision="default"))
-        timeit(f"scatter outer w4 x g{CH} tile={tile} block={block}",
-               fo, idxN, wN, gN)
-
-    # corner form: 4N rows x C
-    idx4N = np.repeat(np.asarray(idxN), 4)
-    idx4N[idx4N < RES * RES] += rng.integers(0, 2, (idx4N < RES * RES).sum())
-    idx4N = jnp.asarray(idx4N.astype(np.int32))
-    payC = jnp.asarray(rng.normal(size=(4 * M, CH)).astype(np.float32))
-    fc = jax.jit(lambda i, p: blocked_scatter_add(
-        i, p, RES * RES, precision="default", trip="dynamic"))
-    timeit(f"scatter 4N={4*M} rows x C={CH} (corner form)", fc, idx4N, payC)
-
-    # channel-split corner: 2 x (4N, 16)
-    fs = jax.jit(lambda i, p: jnp.stack([
-        blocked_scatter_add(i, p[:, :16], RES * RES, precision="default",
-                            trip="dynamic"),
-        blocked_scatter_add(i, p[:, 16:], RES * RES, precision="default",
-                            trip="dynamic")]))
-    timeit("scatter corner split 2x16ch", fs, idx4N, payC)
 
     # IDWT ladder
     bp = jax.jit(trainer.field.build_planes)

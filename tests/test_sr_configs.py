@@ -59,6 +59,20 @@ def test_sr100_400_config_builds_and_fits(tmp_path):
 
 
 @pytest.mark.e2e
+def test_sr100_400_cond_guidance_builds_and_fits(tmp_path):
+    """guidance.kind=cond (conditioning-faithful SDEdit: the full DDIM tail
+    with a weights-free denoiser seeing only real-denoiser inputs) dispatches
+    through the launcher and trains."""
+    system, _ = _run("triplane-sr100_400.yaml",
+                     ["data.synthetic=true", "data.num_views=2",
+                      "data.lr_size=16", "data.scale_ratio=4",
+                      "guidance.kind=cond"], tmp_path)
+    from trinerflet_tpu.sr.guidance import UpscalerGuidance
+
+    assert isinstance(system.guidance, UpscalerGuidance)
+
+
+@pytest.mark.e2e
 def test_sr200_800_config_builds_and_fits(tmp_path):
     system, scene = _run("triplane-sr200_800.yaml",
                          ["data.synthetic=true", "data.num_views=2",

@@ -66,10 +66,14 @@ class TriplaneConfig:
     # identical values, but NO coordinate gradients — disable where the
     # encoder must be differentiated w.r.t. positions (SR analytic normals)
     fast_sampler: bool = True
-    # planes larger than this skip the quad-packed table (its (H, W, 4C)
-    # buffer is >1 GB/plane at 2048^2/32ch) and use the 4-corner fast sampler
-    # with the same blocked-matmul backward at 1/4 the gradient memory
-    quad_max_resolution: int = 1024
+    # resolution cap for the quad-packed table, paired with a ~1.3 GB/plane
+    # byte cap on the (H, W, 4C) buffer (sample_features.pick_sampler).
+    # bf16 planes at 2048^2/32ch fit (1.07 GB transient) and the one
+    # 256 B-row take is 6.7x faster than the corner sampler's four 64 B
+    # takes (69.9 -> 10.5 ms/plane fwd + 14.9 ms table build, measured
+    # scripts/bench_2048_sampler.py; full step 612 -> 451 ms); f32 planes
+    # at that size exceed the byte cap and keep the 4-corner sampler.
+    quad_max_resolution: int = 2048
     # experimental reference variants (triplane_encoder.py:335-362, :304-312):
     # a learnable global rotation of the sample coords (quaternion) and a
     # learnable zoom of the plane extent. Both need coordinate gradients, so
@@ -315,7 +319,9 @@ def sample_triplane(
     def pick_sampler(plane_stack):
         if transform_learned or not cfg.fast_sampler:
             return sample_planes
-        if plane_stack.shape[1] > cfg.quad_max_resolution:
+        _, H, W, C = plane_stack.shape
+        table_bytes = H * W * 4 * C * plane_stack.dtype.itemsize
+        if H > cfg.quad_max_resolution or table_bytes > 1.3e9:
             return sample_planes_corner
         return sample_planes_quad
 

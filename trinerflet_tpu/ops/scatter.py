@@ -313,6 +313,13 @@ def _sharded_scatter(local_fn, mesh, idx, *payloads, split_ch_dim=None):
 
 
 def _auto_tile(num_rows: int) -> int:
+    # big outputs spread the live rows over more tiles (fewer rows per
+    # touched tile), where wider tiles amortize the per-block overhead:
+    # measured at 655k rows into 4.19M (2048^2): tile 4096/block 2048 =
+    # 27.6 ms vs 2048/2048 = 31.3 (scripts/bench_2048_sampler.py); at 1M
+    # rows (1024^2) tile 2048 stays best (12.8 vs 13.8).
+    if num_rows > (1 << 21):
+        return 4096
     return min(2048, 1 << max(8, (num_rows - 1).bit_length() - 7))
 
 
