@@ -90,13 +90,15 @@ def main():
     # clipping, unrepresentative of the steady state where training spends
     # nearly all its time)
     warm = 20 if smoke else 320
+    interval = train_cfg.update_extra_interval
     aux = None
     for i in range(warm):
-        if i % train_cfg.update_extra_interval == 0:
+        if i % interval == 0:
             state = trainer._update_grid(
                 state, full=int(state.occ.iter_density) < 16)
             trainer._maybe_retune_march(state, aux)
-        state, aux = trainer._train_step(state, data)
+        state, aux = trainer._train_step(
+            state, data, with_stats=(i + 1) % interval == 0)
     warm_loss = float(aux["loss"])  # device->host copy: the only reliable sync
     # (block_until_ready on donated-state outputs returns early through the
     #  axon relay; always force with a host transfer when timing)
@@ -114,9 +116,12 @@ def main():
     for _ in range(repeats):
         t0 = time.perf_counter()
         for i in range(steps):
-            if i % train_cfg.update_extra_interval == 0:
+            if i % interval == 0:
                 state = trainer._update_grid(state, full=False)
-            state, aux = trainer._train_step(state, data)
+            # real training cadence: the sort-based autotune stats run on one
+            # step per update interval (the one the next retune consumes)
+            state, aux = trainer._train_step(
+                state, data, with_stats=(i + 1) % interval == 0)
         final_loss = float(aux["loss"])
         window_ms.append((time.perf_counter() - t0) / steps * 1e3)
 

@@ -119,7 +119,7 @@ def march_only(ro, rd, occ_b, occ_c, bbox, k):
     F = cfg.fine_per_coarse
     nc = int(math.ceil(cfg.bound * cfg.max_steps / F))
     noise = jax.random.uniform(k, (ro.shape[0],))
-    t, dt, mask, stride = RM.march_hierarchical(
+    t, dt, mask, stride, _ = RM.march_hierarchical(
         ro, rd, nears, fars, occ_b, occ_c, noise,
         num_coarse=nc, fine_per_coarse=F, coarse_budget=cfg.coarse_budget,
         budget=cfg.samples_per_ray_budget, max_steps=cfg.max_steps,

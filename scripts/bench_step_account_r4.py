@@ -138,7 +138,7 @@ def main():
         c = trainer.render_cfg
         F = c.fine_per_coarse
         nc = c.num_coarse_override or int(math.ceil(c.bound * c.max_steps / F))
-        t, dt, mask, stride = RM.march_hierarchical(
+        t, dt, mask, stride, _ = RM.march_hierarchical(
             ro, rd, nears_c, fars_c, o.occ, o.occ_coarse, noise,
             num_coarse=nc, fine_per_coarse=F, coarse_budget=c.coarse_budget,
             budget=c.samples_per_ray_budget, max_steps=c.max_steps,

@@ -191,9 +191,9 @@ class TestOccgridPath:
         kw = dict(num_coarse=32, fine_per_coarse=8, coarse_budget=12,
                   budget=24, max_steps=256, grid_size=G, cascades=CAS,
                   bound=2.0, dt_gamma=0.0, occ_test_stride=2)
-        t1, dt1, m1, s1 = RM.march_hierarchical(
+        t1, dt1, m1, s1, _ = RM.march_hierarchical(
             o, d, nears, fars, occ, occ_coarse, noise, **kw)
-        t2, dt2, m2, s2 = RM.march_hierarchical(
+        t2, dt2, m2, s2, _ = RM.march_hierarchical(
             o, d, nears, fars, occ, occ_coarse, noise, bricks, cbricks, **kw)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
@@ -223,9 +223,9 @@ class TestOccgridPath:
         kw = dict(num_coarse=24, fine_per_coarse=8, coarse_budget=24,
                   budget=24 * 8, max_steps=256, grid_size=G, cascades=CAS,
                   bound=1.0, dt_gamma=0.0)
-        t1, dt1, m1, s1 = RM.march_hierarchical(
+        t1, dt1, m1, s1, _ = RM.march_hierarchical(
             o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=1, **kw)
-        t2, dt2, m2, s2 = RM.march_hierarchical(
+        t2, dt2, m2, s2, _ = RM.march_hierarchical(
             o, d, nears, fars, occ, occ_coarse, noise, occ_test_stride=2, **kw)
         t1v = np.asarray(jnp.where(m1, t1, -1.0))
         t2v = np.asarray(jnp.where(m2, t2, -1.0))

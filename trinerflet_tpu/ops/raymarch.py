@@ -595,7 +595,7 @@ def march_hierarchical(
     dt_gamma: float = 0.0,
     occ_test_stride: int = 1,
     coarse_test_stride: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-level occupancy marching (TPU redesign of the CUDA voxel-skipping
     loop, raymarching.cu:384-399).
 
@@ -608,8 +608,12 @@ def march_hierarchical(
     flat candidate enumeration (the gathers are the TPU bottleneck).
 
     Only supports dt_gamma == 0 (constant dt; the Blender recipes). Returns
-    (t (N, budget), dt scalar, mask (N, budget), stride (N,)) where stride is
-    the optical-depth multiplier for budget-exceeded rays (see first_k_valid).
+    (t (N, budget), dt scalar, mask (N, budget), stride (N,),
+    seg_lastocc (N,) float32) where stride is the optical-depth multiplier
+    for budget-exceeded rays (see first_k_valid) and seg_lastocc is the
+    1-based index of each ray's LAST occupied coarse segment (0 when none) —
+    the live demand-span signal for the num_coarse autotune (content beyond
+    it is unoccupied, so probing further is pure gather waste).
     """
     assert dt_gamma == 0.0, "hierarchical march requires constant dt"
     N = rays_o.shape[0]
@@ -649,6 +653,10 @@ def march_hierarchical(
         occ_c = occ_lookup(occ_coarse, pts_c, jnp.full_like(t_mid, dt),
                            bricks=occ_coarse_bricks)
     valid_c = occ_c & (t_mid - 0.5 * seg < fars[:, None])
+    # 1-based index of the last occupied segment per ray (0 = none): the
+    # autotuner's demand-span signal (cheap elementwise max, no sort)
+    seg_pos = jax.lax.broadcasted_iota(jnp.int32, valid_c.shape, 1) + 1
+    seg_lastocc = jnp.max(jnp.where(valid_c, seg_pos, 0), axis=1).astype(jnp.float32)
     seg_idx, seg_mask, seg_stride = first_k_valid(valid_c, coarse_budget, spread=True)
 
     # ---- level 2: fine candidates inside surviving segments
@@ -696,7 +704,7 @@ def march_hierarchical(
     t = jnp.where(mask, t, 0.0)
     # each kept sample stands in for stride-many occupied steps of optical depth
     stride = seg_stride * fine_stride
-    return t, jnp.asarray(dt, rays_o.dtype), mask, stride
+    return t, jnp.asarray(dt, rays_o.dtype), mask, stride, seg_lastocc
 
 
 def compact_per_ray(march: MarchResults, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -531,12 +531,19 @@ def render_occgrid(
     occ_bbox: Optional[jnp.ndarray] = None,
     occ_bricks: Optional[jnp.ndarray] = None,
     occ_coarse_bricks: Optional[jnp.ndarray] = None,
+    with_stats: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """March + compact + field + composite (one path for train and eval).
 
     ``occ_bbox``: dynamic (6,) AABB of the occupied region
     (OccupancyState.bbox) — rays clip to it, so the (static) candidate span
-    is spent on content rather than empty scene margin."""
+    is spent on content rather than empty scene margin.
+
+    ``with_stats=False`` skips the sort-based p99 autotune statistics
+    (samples_p99 / span_p99 / needed_seg_p99 — one batched 32k-row sort per
+    step at the bench config); the trainer only consumes them on retune
+    steps (every ``update_extra_interval``), so hot steps skip the sort.
+    Cheap sum-based stats (overflow/trunc/num_samples) are always emitted."""
     N = rays_o.shape[0]
     aabb = jnp.asarray(cfg.aabb, jnp.float32)
     if occ_bbox is not None:
@@ -566,7 +573,7 @@ def render_occgrid(
     if hierarchical:
         F = cfg.fine_per_coarse
         num_coarse = cfg.num_coarse_override or int(math.ceil(cfg.bound * steps / F))
-        t, dt_scalar, mask, stride = RM.march_hierarchical(
+        t, dt_scalar, mask, stride, seg_lastocc = RM.march_hierarchical(
             rays_o, rays_d, nears_c, fars_c, occ, occ_coarse, noise,
             occ_bricks, occ_coarse_bricks,
             num_coarse=num_coarse, fine_per_coarse=F,
@@ -582,16 +589,17 @@ def render_occgrid(
         # spread subsampling): the auto-tune signal — the budget layout
         # computes field evals + gathers for all N*B slots, so slack is waste
         demand = mask.sum(-1).astype(jnp.float32) * stride
-        samples_p99 = jnp.quantile(demand, 0.99)
         overflow_frac = (demand > B).mean().astype(jnp.float32)
         capped = demand > B
         # span stats for the trunc-T-gated num_coarse tune: rays whose
         # [near, far) chord exceeds the marched span NC*F*dt are spatially
         # truncated — content beyond the span is never probed. The tuner may
-        # shrink NC toward the live span p99 only while such rays end opaque.
+        # shrink NC toward the live demand span only while such rays end
+        # opaque. (The p99s themselves are sorted later, under with_stats.)
         span_ray = jnp.where(hit, fars_c - nears_c, 0.0)
-        span_p99 = jnp.quantile(span_ray, 0.99)
         span_capped = span_ray > (num_coarse * F) * (2.0 * RM.SQRT3 / steps) * 0.995
+        samples_p99 = span_p99 = needed_seg_p99 = None
+        needed_seg = seg_lastocc
         if cfg.compaction == "global" and cfg.global_slots_per_ray > 0:
             # second-stage global compaction: field/gather volume scales with
             # the live MEAN samples/ray instead of the p99-sized budget B
@@ -623,6 +631,21 @@ def render_occgrid(
             )
             mean_z = depth_raw / jnp.maximum(ws, 1e-8)
             z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
+            if with_stats:
+                # saturation-aware demand span: a ray that saturates (its
+                # transmittance crosses the early-exit threshold) only needs
+                # the span up to its last CONTRIBUTING sample — occupied-but-
+                # occluded segments beyond it never receive weight. An
+                # unsaturated ray needs every occupied segment it has (there
+                # is nothing to sample past the last one). This is the signal
+                # that lets the num_coarse tune fire on full-volume scenes
+                # where the bbox/chord heuristics see no shrinkage.
+                seg_len = dt_scalar * F
+                t_sat = jnp.max(jnp.where(weights > 0, ts_rel, 0.0), axis=1)
+                saturated = ws > 1.0 - 10.0 * cfg.t_thresh
+                seg_sat = t_sat / seg_len + 2.0
+                needed_seg = jnp.where(
+                    saturated, jnp.minimum(seg_sat, seg_lastocc), seg_lastocc)
     else:
         n_cand = cfg.num_candidates if max_steps is None else cfg.candidates_for(steps)
         march = RM.march_candidates(
@@ -650,7 +673,7 @@ def render_occgrid(
             z_var = (weights * (ts_rel - mean_z[:, None]) ** 2).sum(-1) / jnp.maximum(ws, 1e-8)
             num_samples = mask.sum()
             demand = mask.sum(-1).astype(jnp.float32) * stride
-            samples_p99 = jnp.quantile(demand, 0.99)
+            samples_p99 = jnp.quantile(demand, 0.99) if with_stats else None
             overflow_frac = (demand > B).mean().astype(jnp.float32)
             capped = demand > B
         else:
@@ -660,7 +683,7 @@ def render_occgrid(
                 cfg.density_scale * sigmas, rgbs, comp, N, cfg.t_thresh
             )
             num_samples = comp.num_valid
-            samples_p99 = overflow_frac = None
+            samples_p99 = overflow_frac = capped = None
     bg = _background(rays_o, rays_d, bg_color, bg_fn, cfg)
     image = image + (1.0 - ws)[:, None] * bg
     span = jnp.maximum(fars - nears, 1e-6)
@@ -669,10 +692,20 @@ def render_occgrid(
     # "depth - nears" (utils.py normalization); subtracting nears again
     # zeroed the map for any surface closer than 2*nears
     depth = jnp.clip(depth_raw, min=0.0) / span
+    if hierarchical and with_stats:
+        # all three p99s from ONE batched 32k-row sort (three separate
+        # jnp.quantile calls cost three sorts; measured in phase E of
+        # scripts/bench_march_r4.py)
+        stats3 = jax.lax.sort(
+            jnp.stack([demand, span_ray, needed_seg]), dimension=1)
+        qi = int(round(0.99 * (N - 1)))
+        samples_p99, span_p99, needed_seg_p99 = (
+            stats3[0, qi], stats3[1, qi], stats3[2, qi])
     out = {"image": image, "depth": depth, "weights_sum": ws,
            "z_variance": z_var, "num_samples": num_samples}
-    if samples_p99 is not None:
-        out["samples_p99"] = samples_p99
+    if capped is not None:
+        if samples_p99 is not None:
+            out["samples_p99"] = samples_p99
         out["overflow_frac"] = overflow_frac
         out["samples_mean"] = demand.mean()
         # residual transmittance of budget-capped rays: the budget autotune's
@@ -690,7 +723,9 @@ def render_occgrid(
             / jnp.maximum(n_capped, 1).astype(jnp.float32),
             0.0)
     if hierarchical:
-        out["span_p99"] = span_p99
+        if with_stats:
+            out["span_p99"] = span_p99
+            out["needed_seg_p99"] = needed_seg_p99
         n_sc = span_capped.sum()
         out["span_trunc_T"] = jnp.where(
             n_sc > 0,

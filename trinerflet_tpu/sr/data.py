@@ -129,12 +129,16 @@ def load_sr_llff(
 
 def make_synthetic_sr_scene(
     num_views: int = 8, lr_size: int = 32, scale: int = 4, seed: int = 0,
-    background_color: float = 0.0,
+    background_color: float = 0.0, variant: str = "spheres",
 ) -> SRSceneData:
     """Synthetic paired scene for tests: the same analytic field rendered at
-    LR and at LR*scale with identical cameras."""
-    hr = make_synthetic_scene(num_views, lr_size * scale, lr_size * scale, seed=seed)
-    lr = make_synthetic_scene(num_views, lr_size, lr_size, seed=seed)
+    LR and at LR*scale with identical cameras. ``variant="hf"`` renders the
+    high-frequency quality-benchmark field (checker textures, thin rods) —
+    the regime where x4 SR has real headroom over bilinear upsampling."""
+    hr = make_synthetic_scene(num_views, lr_size * scale, lr_size * scale,
+                              seed=seed, variant=variant)
+    lr = make_synthetic_scene(num_views, lr_size, lr_size, seed=seed,
+                              variant=variant)
     lr.poses = hr.poses.copy()  # identical cameras (same seed ordering anyway)
     fx_l = hr.intrinsics[0] / scale
     lr.intrinsics = (fx_l, fx_l, lr_size / 2.0, lr_size / 2.0)

@@ -41,6 +41,7 @@ def build(cfg_dict, workspace):
             lr_size=data_cfg.get("lr_size", 32),
             scale=data_cfg.get("scale_ratio", 4),
             background_color=data_cfg.get("background_color", 0.0),
+            variant=data_cfg.get("variant", "spheres"),
         )
     elif data_cfg.get("llff", False):
         from .data import load_sr_llff
@@ -246,12 +247,26 @@ def main(argv=None):
         print(f"resumed from {ckpt} at step {payload['step']}")
 
     if args.train:
-        state = system.fit(state, scene)
         import jax
 
-        with open(ckpt, "wb") as f:
-            pickle.dump({"params": jax.tree.map(np.asarray, state.params),
-                         "step": int(state.step)}, f)
+        def save_ckpt(st):
+            tmp = ckpt + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"params": jax.tree.map(np.asarray, st.params),
+                             "step": int(st.step)}, f)
+            os.replace(tmp, ckpt)  # atomic: a crash never truncates the ckpt
+
+        # periodic checkpoint every ~1000 steps (host counter — int(state.step)
+        # would force a device sync every step)
+        count = [0]
+
+        def _cb(st, aux):
+            count[0] += 1
+            if count[0] % 1000 == 0:
+                save_ckpt(st)
+
+        state = system.fit(state, scene, callback=_cb)
+        save_ckpt(state)
     if args.test or args.train:
         res = system.evaluate(state, scene)
         print(f"LR PSNR {res['PSNR_lr']:.3f} | HR PSNR {res['PSNR_hr']:.3f} "

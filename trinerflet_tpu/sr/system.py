@@ -190,6 +190,9 @@ class SRSystem:
             rng=rng, bg_color=bg, perturb=perturb, occ_coarse=occ.occ_coarse,
             occ_bbox=occ.bbox, occ_bricks=occ.occ_bricks,
             occ_coarse_bricks=occ.occ_coarse_bricks,
+            # the SR retune is bbox-driven (no aux consumer): skip the
+            # sort-based p99 stats on every render
+            with_stats=False,
         )
 
     def _apply_updates(self, state, grads, aux):

@@ -179,6 +179,7 @@ class Trainer:
         self._trunc_T_ema = None
         self._span_trunc_ema = None
         self._span_p99_ema = None
+        self._needed_seg_ema = None
         self._budget_max = render_cfg.samples_per_ray_budget
         self._base_render_cfg = render_cfg   # configured (pre-retune) shapes
         self.clip_loss = None          # set via set_clip_guidance (--rand_pose)
@@ -194,7 +195,8 @@ class Trainer:
         self._build_jits()
 
     def _build_jits(self):
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,),
+                                   static_argnames=("with_stats",))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,),
                                     static_argnames=("full",))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("train",))
@@ -316,8 +318,21 @@ class Trainer:
                 sp = float(aux["span_p99"])
                 es = self._span_p99_ema
                 self._span_p99_ema = sp if es is None else 0.5 * es + 0.5 * sp
+                # saturation-aware demand span (last occupied / last
+                # contributing coarse segment, see render_occgrid): the
+                # signal that fires on full-volume scenes, where the chord
+                # p99 never shrinks. Same trunc-T quality gate.
+                ns = aux.get("needed_seg_p99")
+                if ns is not None:
+                    ns = float(ns)
+                    en = self._needed_seg_ema
+                    self._needed_seg_ema = ns if en is None else 0.5 * en + 0.5 * ns
                 if self._span_trunc_ema <= self.cfg.budget_trunc_tol:
                     span_t = int(_m.ceil(self._span_p99_ema * 1.1 / seg)) + 2
+                    if self._needed_seg_ema is not None:
+                        span_t = min(
+                            span_t,
+                            int(_m.ceil(self._needed_seg_ema * 1.1)) + 2)
                     span_t = min(worst, max(8, (span_t + 7) // 8 * 8))
                 elif cfg.num_coarse_override:
                     # truncated rays are losing visible mass: grow back
@@ -426,7 +441,7 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
-    def _loss_fn(self, params, occ, rng, data, error_map):
+    def _loss_fn(self, params, occ, rng, data, error_map, with_stats=True):
         cfg = self.cfg
         k_batch, k_bg, k_perturb = jax.random.split(rng, 3)
         err_info = None
@@ -484,6 +499,7 @@ class Trainer:
                 occ_coarse=occ.occ_coarse, occ_bbox=occ.bbox,
                 occ_bricks=occ.occ_bricks,
                 occ_coarse_bricks=occ.occ_coarse_bricks,
+                with_stats=with_stats,
             )
         elif cfg.renderer == "proposal":
             from ..render.proposal import render_proposal
@@ -525,7 +541,8 @@ class Trainer:
         if "num_samples" in out:
             aux["num_samples"] = out["num_samples"]
         for k in ("samples_p99", "overflow_frac", "global_fill", "trunc_T",
-                  "samples_mean", "span_p99", "span_trunc_T"):
+                  "samples_mean", "span_p99", "span_trunc_T",
+                  "needed_seg_p99"):
             if k in out:
                 aux[k] = out[k]
         if err_info is not None:
@@ -538,7 +555,7 @@ class Trainer:
             aux["_new_error_map"] = new_map.reshape(error_map.shape)
         return loss, aux
 
-    def _train_step_impl(self, state: TrainState, data):
+    def _train_step_impl(self, state: TrainState, data, with_stats: bool = True):
         from ..parallel.sharding import active_mesh
 
         rng, k = jax.random.split(state.rng)
@@ -548,7 +565,7 @@ class Trainer:
             # leaving a global sort+scan for the SPMD partitioner to mangle
             (loss, aux), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
-            )(state.params, state.occ, k, data, state.error_map)
+            )(state.params, state.occ, k, data, state.error_map, with_stats)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
@@ -696,13 +713,12 @@ class Trainer:
                 )
             )
         total = self.cfg.iters + max(self.cfg.warmup_steps, 0)
+        interval = self.cfg.update_extra_interval
         t0 = time.time()
         last_aux = None
         for it in range(total):
-            if (
-                self.cfg.renderer == "occgrid"
-                and int(state.step) % self.cfg.update_extra_interval == 0
-            ):
+            st = int(state.step)
+            if self.cfg.renderer == "occgrid" and st % interval == 0:
                 state = self._update_grid(
                     state, full=int(state.occ.iter_density) < 16
                 )
@@ -719,7 +735,14 @@ class Trainer:
                     callback(state, aux)
                 if self.rand_pose_interval == 0:
                     continue
-            state, aux = self._train_step(state, data)
+            # sort-based autotune stats only on the step whose aux the next
+            # retune consumes (hot steps skip the 32k-row sort); non-occgrid
+            # renderers have no stats graph, so pin True (one compile)
+            state, aux = self._train_step(
+                state, data,
+                with_stats=(self.cfg.renderer != "occgrid")
+                or ((st + 1) % interval == 0),
+            )
             last_aux = aux
             if log_every and (it % log_every == 0 or it == total - 1):
                 loss = float(aux["loss"])
