@@ -112,3 +112,30 @@ def test_sr_fit_with_shuffled_stream():
     state = sys_.init_state()
     state = sys_.fit(state, scene, log_every=0)
     assert int(state.step) == 6
+
+
+def test_jax_backend_matches_numpy_gt():
+    """The jitted GT renderer (used for reference-scale scene generation on
+    the accelerator) is the same quadrature as the numpy marcher."""
+    from trinerflet_tpu.data.synthetic import make_synthetic_scene
+
+    a = make_synthetic_scene(num_views=2, H=16, W=16, num_steps=32)
+    b = make_synthetic_scene(num_views=2, H=16, W=16, num_steps=32,
+                             backend="jax")
+    np.testing.assert_allclose(b.poses, a.poses)
+    np.testing.assert_allclose(b.images, a.images, atol=3e-5)
+
+
+def test_sr_scene_npz_roundtrip(tmp_path):
+    from trinerflet_tpu.sr.data import load_sr_scene_npz, save_sr_scene_npz
+
+    scene = make_synthetic_sr_scene(num_views=2, lr_size=8, scale=2,
+                                    background_color=0.5)
+    path = str(tmp_path / "scene.npz")
+    save_sr_scene_npz(scene, path)
+    back = load_sr_scene_npz(path)
+    np.testing.assert_array_equal(back.lr.images, scene.lr.images)
+    np.testing.assert_array_equal(back.hr.images, scene.hr.images)
+    np.testing.assert_array_equal(back.hr.poses, scene.hr.poses)
+    assert back.lr.intrinsics == scene.lr.intrinsics
+    assert back.scale == 2 and back.num_views == 2

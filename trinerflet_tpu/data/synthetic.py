@@ -125,6 +125,57 @@ def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
 _FIELDS = {"spheres": field, "hf": field_hf}
 
 
+def _render_views_jax(poses, intrinsics, H, W, num_steps, field_fn,
+                      near=0.8, far=3.2, chunk=65536):
+    """GT render on the accelerator: jitted lax.scan over depth steps, fixed
+    pixel chunks (one compile). ~100x faster than the numpy marcher on this
+    one-CPU-core host; bit-for-bit parity with it is not required (both are
+    exact quadrature of the same analytic field at the same t samples)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = np.linspace(near, far, num_steps, dtype=np.float32)
+    dt = float(t[1] - t[0])
+
+    @jax.jit
+    def render(rays_o, rays_d):
+        def body(carry, tk):
+            img, acc, T = carry
+            pts = rays_o + rays_d * tk
+            sigma, rgb = field_fn(pts, xp=jnp)
+            alpha = 1.0 - jnp.exp(-sigma * dt)
+            w = alpha * T
+            return (img + w[:, None] * rgb, acc + w, T * (1.0 - alpha)), None
+
+        n = rays_o.shape[0]
+        init = (jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.ones((n,)))
+        (img, acc, _), _ = jax.lax.scan(body, init, jnp.asarray(t))
+        return img, acc
+
+    n_px = H * W
+    chunk = min(chunk, n_px)
+    out = []
+    for pose in poses:
+        rays_o, rays_d = rays_full_image(pose, intrinsics, H, W)
+        imgs, accs = [], []
+        for s in range(0, n_px, chunk):
+            ro, rd = rays_o[s:s + chunk], rays_d[s:s + chunk]
+            pad = chunk - ro.shape[0]  # pad the tail chunk: one jit shape
+            if pad:
+                ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
+                rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
+            im, ac = render(jnp.asarray(ro), jnp.asarray(rd))
+            im, ac = np.asarray(im), np.asarray(ac)
+            if pad:
+                im, ac = im[:-pad], ac[:-pad]
+            imgs.append(im)
+            accs.append(ac)
+        rgba = np.concatenate(
+            [np.concatenate(imgs), np.concatenate(accs)[:, None]], axis=-1)
+        out.append(rgba.reshape(H, W, 4).astype(np.float32))
+    return out
+
+
 def _render_view(pose, intrinsics, H, W, num_steps=192, near=0.8, far=3.2,
                  field_fn=field):
     rays_o, rays_d = rays_full_image(pose, intrinsics, H, W)
@@ -153,6 +204,7 @@ def make_synthetic_scene(
     seed: int = 0,
     num_steps: int = 192,
     variant: str = "spheres",
+    backend: str = "numpy",
 ) -> SceneData:
     """variant: "spheres" (smooth, easy) or "hf" (checker textures, thin rods
     — the hard quality benchmark; use num_steps >= 384 so the ground-truth
@@ -163,13 +215,16 @@ def make_synthetic_scene(
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W
     intr = (fx, fy, W / 2.0, H / 2.0)
-    poses, images = [], []
+    poses = []
     for v in range(num_views):
         theta = np.arccos(1 - 1.6 * (v + 0.5) / num_views)  # avoid poles
         phi = (v * 2.399963) % (2 * np.pi) + rng.uniform(0, 0.1)
-        pose = orbit_pose(theta, phi, radius)
-        poses.append(pose)
-        images.append(_render_view(pose, intr, H, W, num_steps, field_fn=field_fn))
+        poses.append(orbit_pose(theta, phi, radius))
+    if backend == "jax":
+        images = _render_views_jax(poses, intr, H, W, num_steps, field_fn)
+    else:
+        images = [_render_view(pose, intr, H, W, num_steps, field_fn=field_fn)
+                  for pose in poses]
     return SceneData(
         images=np.stack(images), poses=np.stack(poses), intrinsics=intr, H=H, W=W
     )

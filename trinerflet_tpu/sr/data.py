@@ -12,6 +12,7 @@ Mirrors the reference SR datamodules (super_resolution/threestudio/data/):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Iterator, Optional, Tuple
 
 import numpy as np
@@ -130,18 +131,48 @@ def load_sr_llff(
 def make_synthetic_sr_scene(
     num_views: int = 8, lr_size: int = 32, scale: int = 4, seed: int = 0,
     background_color: float = 0.0, variant: str = "spheres",
+    backend: str = "numpy",
 ) -> SRSceneData:
     """Synthetic paired scene for tests: the same analytic field rendered at
     LR and at LR*scale with identical cameras. ``variant="hf"`` renders the
     high-frequency quality-benchmark field (checker textures, thin rods) —
-    the regime where x4 SR has real headroom over bilinear upsampling."""
+    the regime where x4 SR has real headroom over bilinear upsampling.
+    ``backend="jax"`` renders the GT on the accelerator (reference-scale
+    scenes: 100 views at 400^2 take ~1 h with the numpy marcher on this
+    one-core host, seconds jitted)."""
     hr = make_synthetic_scene(num_views, lr_size * scale, lr_size * scale,
-                              seed=seed, variant=variant)
+                              seed=seed, variant=variant, backend=backend)
     lr = make_synthetic_scene(num_views, lr_size, lr_size, seed=seed,
-                              variant=variant)
+                              variant=variant, backend=backend)
     lr.poses = hr.poses.copy()  # identical cameras (same seed ordering anyway)
     fx_l = hr.intrinsics[0] / scale
     lr.intrinsics = (fx_l, fx_l, lr_size / 2.0, lr_size / 2.0)
     hr.images = composite_bg(hr.images, background_color)
     lr.images = composite_bg(lr.images, background_color)
+    return SRSceneData(lr=lr, hr=hr)
+
+
+def save_sr_scene_npz(scene: SRSceneData, path: str) -> None:
+    """Cache a pinhole SR scene pair (GT generation at reference scale is the
+    slow part; resumed runs reload instead of re-rendering)."""
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        lr_images=scene.lr.images, hr_images=scene.hr.images,
+        poses=scene.hr.poses,
+        lr_intrinsics=np.asarray(scene.lr.intrinsics, np.float64),
+        hr_intrinsics=np.asarray(scene.hr.intrinsics, np.float64),
+    )
+    os.replace(tmp, path)
+
+
+def load_sr_scene_npz(path: str) -> SRSceneData:
+    d = np.load(path)
+    lr_im, hr_im, poses = d["lr_images"], d["hr_images"], d["poses"]
+    lr = SceneData(images=lr_im, poses=poses.copy(),
+                   intrinsics=tuple(d["lr_intrinsics"].tolist()),
+                   H=lr_im.shape[1], W=lr_im.shape[2])
+    hr = SceneData(images=hr_im, poses=poses,
+                   intrinsics=tuple(d["hr_intrinsics"].tolist()),
+                   H=hr_im.shape[1], W=hr_im.shape[2])
     return SRSceneData(lr=lr, hr=hr)

@@ -36,13 +36,24 @@ def build(cfg_dict, workspace):
     if sys_kind == "generation" and not data_cfg:
         scene = None  # generation is data-free (random orbit cameras)
     elif data_cfg.get("synthetic", False):
-        scene = make_synthetic_sr_scene(
-            num_views=data_cfg.get("num_views", 8),
-            lr_size=data_cfg.get("lr_size", 32),
-            scale=data_cfg.get("scale_ratio", 4),
-            background_color=data_cfg.get("background_color", 0.0),
-            variant=data_cfg.get("variant", "spheres"),
-        )
+        cache = data_cfg.get("cache", "")
+        if cache and os.path.exists(cache):
+            from .data import load_sr_scene_npz
+
+            scene = load_sr_scene_npz(cache)
+        else:
+            scene = make_synthetic_sr_scene(
+                num_views=data_cfg.get("num_views", 8),
+                lr_size=data_cfg.get("lr_size", 32),
+                scale=data_cfg.get("scale_ratio", 4),
+                background_color=data_cfg.get("background_color", 0.0),
+                variant=data_cfg.get("variant", "spheres"),
+                backend=data_cfg.get("backend", "numpy"),
+            )
+            if cache:
+                from .data import save_sr_scene_npz
+
+                save_sr_scene_npz(scene, cache)
     elif data_cfg.get("llff", False):
         from .data import load_sr_llff
 
