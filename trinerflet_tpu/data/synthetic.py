@@ -102,6 +102,51 @@ def field_hf(pts, xp=np) -> Tuple[np.ndarray, np.ndarray]:
     return sigma, rgb
 
 
+def field_srtex(pts, xp=np) -> Tuple[np.ndarray, np.ndarray]:
+    """Super-resolution texture benchmark: smooth, easily-fittable geometry
+    (four large thin-shell spheres) carrying band-limited sinusoidal textures
+    with ~0.03 world-unit period. At the SR recipe's cameras (radius 2.0,
+    fx=0.9*W) that is ~5.3 px/period in the 400^2 HR renders (well resolved)
+    but ~1.3 px/period at 100^2 LR — below the LR Nyquist rate, so the
+    antialiased LR downscale plus bilinear upsampling destroys it (bilinear
+    x4 baseline ~32 dB) while a x4 multiview SR model can recover it. This is
+    the regime the reference's SR benchmark (lego 100->400,
+    super_resolution/configs/triplane-sr100_400_2.yaml) actually measures;
+    ``field_hf`` is unsuitable for that purpose because its discontinuous
+    checkers and thin rods cap any volumetric fit near ~23 dB, below the
+    bilinear baseline itself."""
+    sigma = xp.zeros(pts.shape[:-1], np.float32)
+    rgb = xp.zeros(pts.shape[:-1] + (3,), np.float32)
+    k = 212.0  # 2*pi / 0.0296 world-units
+
+    def add_sphere(center, r, m, col_a, col_b):
+        nonlocal sigma, rgb
+        d = xp.linalg.norm(pts - np.asarray(center, np.float32), axis=-1) - r
+        # density 100 keeps the visible shell (~1/density deep) thin relative
+        # to the texture period, so the volume render preserves texture
+        # contrast; width 0.006 stays smooth enough for a high-PSNR fit
+        s = _smoothstep_inside(d, 100.0, 0.006, xp)
+        col = (m[..., None] * np.asarray(col_a, np.float32)
+               + (1.0 - m[..., None]) * np.asarray(col_b, np.float32))
+        sigma = sigma + s
+        rgb = rgb + s[..., None] * col
+
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    # plaid texture in two orientations + radial rings (all smooth/band-limited)
+    m1 = 0.5 + 0.5 * xp.sin(k * x) * xp.sin(k * y)
+    add_sphere((-0.30, 0.0, 0.05), 0.44, m1, (0.92, 0.86, 0.18), (0.12, 0.20, 0.75))
+    m2 = 0.5 + 0.5 * xp.sin(k * y) * xp.sin(k * z)
+    add_sphere((0.36, 0.05, -0.14), 0.36, m2, (0.85, 0.20, 0.15), (0.15, 0.80, 0.50))
+    r3 = xp.linalg.norm(pts - np.array([0.0, -0.40, 0.16], np.float32), axis=-1)
+    m3 = 0.5 + 0.5 * xp.sin(k * r3)
+    add_sphere((0.0, -0.40, 0.16), 0.31, m3, (0.90, 0.55, 0.10), (0.20, 0.25, 0.35))
+    m4 = 0.5 + 0.5 * xp.sin(k * x) * xp.sin(k * z)
+    add_sphere((0.05, 0.44, 0.34), 0.28, m4, (0.25, 0.85, 0.85), (0.55, 0.15, 0.60))
+
+    rgb = rgb / xp.maximum(sigma[..., None], 1e-8)
+    return sigma, rgb
+
+
 def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     """cam2world in the framework's (ngp-style) convention: camera looks along
     +z of its rotation toward the origin."""
@@ -122,7 +167,7 @@ def orbit_pose(theta: float, phi: float, radius: float) -> np.ndarray:
     return pose
 
 
-_FIELDS = {"spheres": field, "hf": field_hf}
+_FIELDS = {"spheres": field, "hf": field_hf, "srtex": field_srtex}
 
 
 def _render_views_jax(poses, intrinsics, H, W, num_steps, field_fn,
@@ -210,7 +255,7 @@ def make_synthetic_scene(
     — the hard quality benchmark; use num_steps >= 384 so the ground-truth
     marcher resolves the thin structures)."""
     field_fn = _FIELDS[variant]
-    if variant == "hf":
+    if variant in ("hf", "srtex"):
         num_steps = max(num_steps, 384)
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * W

@@ -131,20 +131,36 @@ def load_sr_llff(
 def make_synthetic_sr_scene(
     num_views: int = 8, lr_size: int = 32, scale: int = 4, seed: int = 0,
     background_color: float = 0.0, variant: str = "spheres",
-    backend: str = "numpy",
+    backend: str = "numpy", lr_from: str = "downsample",
 ) -> SRSceneData:
-    """Synthetic paired scene for tests: the same analytic field rendered at
-    LR and at LR*scale with identical cameras. ``variant="hf"`` renders the
-    high-frequency quality-benchmark field (checker textures, thin rods) —
-    the regime where x4 SR has real headroom over bilinear upsampling.
-    ``backend="jax"`` renders the GT on the accelerator (reference-scale
-    scenes: 100 views at 400^2 take ~1 h with the numpy marcher on this
-    one-core host, seconds jitted)."""
+    """Synthetic paired scene for tests: an analytic field rendered at
+    LR*scale, paired with LR views from identical cameras. ``variant="hf"``
+    renders the high-frequency quality-benchmark field (checker textures,
+    thin rods) — the regime where x4 SR has real headroom over bilinear
+    upsampling. ``backend="jax"`` renders the GT on the accelerator
+    (reference-scale scenes: 100 views at 400^2 take ~1 h with the numpy
+    marcher on this one-core host, seconds jitted).
+
+    ``lr_from="downsample"`` (default) creates the LR views by box-filtering
+    the HR renders — the reference's data semantics (its LR split is the HR
+    images loaded at ``downscale*scale_ratio``, i.e. an antialiased image-
+    space resize; multiview_sr.py dataloaders / load_sr_blender here).
+    ``lr_from="render"`` instead re-renders at LR with one ray per pixel —
+    point-sampled and therefore view-INCONSISTENTLY aliased wherever the
+    field has sub-LR-pixel detail (the hf checkers); no 3D-consistent model
+    can fit that speckle, so it measures robustness, not SR quality."""
     hr = make_synthetic_scene(num_views, lr_size * scale, lr_size * scale,
                               seed=seed, variant=variant, backend=backend)
-    lr = make_synthetic_scene(num_views, lr_size, lr_size, seed=seed,
-                              variant=variant, backend=backend)
-    lr.poses = hr.poses.copy()  # identical cameras (same seed ordering anyway)
+    if lr_from == "downsample":
+        V, Hh, Wh, C = hr.images.shape
+        lr_imgs = hr.images.reshape(
+            V, lr_size, scale, lr_size, scale, C).mean((2, 4)).astype(np.float32)
+        lr = SceneData(images=lr_imgs, poses=hr.poses.copy(),
+                       intrinsics=hr.intrinsics, H=lr_size, W=lr_size)
+    else:
+        lr = make_synthetic_scene(num_views, lr_size, lr_size, seed=seed,
+                                  variant=variant, backend=backend)
+        lr.poses = hr.poses.copy()  # identical cameras (same seed ordering)
     fx_l = hr.intrinsics[0] / scale
     lr.intrinsics = (fx_l, fx_l, lr_size / 2.0, lr_size / 2.0)
     hr.images = composite_bg(hr.images, background_color)

@@ -49,6 +49,7 @@ def build(cfg_dict, workspace):
                 background_color=data_cfg.get("background_color", 0.0),
                 variant=data_cfg.get("variant", "spheres"),
                 backend=data_cfg.get("backend", "numpy"),
+                lr_from=data_cfg.get("lr_from", "downsample"),
             )
             if cache:
                 from .data import save_sr_scene_npz
