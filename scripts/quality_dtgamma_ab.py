@@ -51,6 +51,12 @@ def main(smoke: bool = False):
 
     smoke = smoke or "--smoke" in sys.argv
     V, H, iters = (6, 48, 250) if smoke else (24, 200, 2000)
+    for a in sys.argv:
+        if a.startswith("--iters="):
+            # the A/B evaluates the SAME checkpoint through both ladder
+            # implementations, so the delta is training-length-independent;
+            # a shorter fit still exercises the march fully
+            iters = int(a.split("=")[1])
     scene = make_synthetic_scene(num_views=V, H=H, W=H, radius=3.0,
                                  num_steps=96 if smoke else 384,
                                  variant="hf", backend="jax")
@@ -117,7 +123,7 @@ def main(smoke: bool = False):
     out = {
         "scene": "hf synthetic, 24 views 200^2, radius 3, bound 4, "
                  f"dt_gamma {DT_GAMMA:.6f}, max_steps 1024",
-        "train": f"2000 iters, 8192 rays, wall {wall:.0f}s",
+        "train": f"{iters} iters, 8192 rays, wall {wall:.0f}s",
         "deep_eval_views": list(holdout),
         "psnr_closed_form_ladder": round(p_ladder, 4),
         "psnr_sequential_scan": round(p_scan, 4),
