@@ -390,3 +390,59 @@ class TestDtGammaLadder:
             np.clip(ts[0, :-1] / 128, 2 * RM.SQRT3 / 512,
                     2 * RM.SQRT3 * 2 ** (cfg.cascades - 1) / 64),
             rtol=1e-3, atol=2e-5)
+
+
+class TestGlobalCompactPrefixPath:
+    """compact_global_dense(prefix_mask=True) — the sort-free boundary-scatter
+    source map — must reproduce the flat-sort path bit-for-bit on any mask
+    whose per-row valid entries form a prefix (the structure first_k_valid
+    guarantees: mask = (rank <= count))."""
+
+    def _random_prefix_case(self, seed, N=37, B=12, m_budget=None):
+        rng = np.random.default_rng(seed)
+        counts = rng.integers(0, B + 1, size=N)
+        counts[rng.integers(0, N, size=max(1, N // 5))] = 0  # empty rays
+        mask = np.arange(B)[None, :] < counts[:, None]
+        t = np.where(mask, rng.uniform(0.5, 2.5, size=(N, B)), 0.0)
+        dt = np.where(mask, rng.uniform(0.01, 0.05, size=(N, B)), 0.0)
+        o = rng.normal(size=(N, 3)).astype(np.float32)
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        t0 = rng.uniform(0.4, 0.6, size=N).astype(np.float32)
+        if m_budget is None:
+            m_budget = int(counts.sum())
+        args = tuple(jnp.asarray(x, jnp.float32) for x in (o, d, t, dt))
+        return args + (jnp.asarray(mask), jnp.asarray(t0)), m_budget
+
+    @pytest.mark.parametrize("seed,buffer", [
+        (0, "exact"),      # buffer == total valid
+        (1, "ample"),      # no overflow, trailing invalid slots
+        (2, "overflow"),   # tail dropping engaged
+    ])
+    def test_matches_sort_path(self, seed, buffer):
+        (o, d, t, dt, mask, t0), total = self._random_prefix_case(seed)
+        m_budget = {"exact": total, "ample": total + 29,
+                    "overflow": max(4, total // 2)}[buffer]
+        a = RM.compact_global_dense(o, d, t, dt, mask, t0,
+                                    m_budget=m_budget, bound=1.5)
+        b = RM.compact_global_dense(o, d, t, dt, mask, t0,
+                                    m_budget=m_budget, bound=1.5,
+                                    prefix_mask=True)
+        for f in ("xyzs", "dirs", "ts", "dts", "ray_id", "offsets", "counts",
+                  "num_valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"field {f} diverged ({buffer})")
+
+    def test_all_rays_empty(self):
+        (o, d, t, dt, mask, t0), _ = self._random_prefix_case(3)
+        mask = jnp.zeros_like(mask)
+        t = jnp.zeros_like(t)
+        dt = jnp.zeros_like(dt)
+        a = RM.compact_global_dense(o, d, t, dt, mask, t0, m_budget=8,
+                                    bound=1.5)
+        b = RM.compact_global_dense(o, d, t, dt, mask, t0, m_budget=8,
+                                    bound=1.5, prefix_mask=True)
+        assert int(b.num_valid) == 0
+        np.testing.assert_array_equal(np.asarray(a.ray_id), np.asarray(b.ray_id))
+        np.testing.assert_array_equal(np.asarray(a.dts), np.asarray(b.dts))

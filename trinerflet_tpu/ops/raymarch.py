@@ -429,6 +429,7 @@ def compact_global_dense(
     *,
     m_budget: int,
     bound: float,
+    prefix_mask: bool = False,
 ) -> CompactSamples:
     """Second-stage GLOBAL compaction of the per-ray (N, B) budget layout.
 
@@ -438,24 +439,51 @@ def compact_global_dense(
     bench config) — compacting the valid slots into a shared ``m_budget``
     buffer makes the field/gather/scatter volume scale with the MEAN instead.
 
-    Source selection is ONE flat sort of int32 position keys (invalid slots
-    pushed past the end), the same trick as :func:`first_k_valid` — NOT the
-    cumsum+searchsorted binary search: ~20 search iterations x m_budget
-    serialized gather rows cost more than the dense layout they were meant to
-    replace (measured: global slots=12 at 258 ms vs dense B=20 at 228 ms,
-    scripts/bench_compaction_ab.py). Overflow beyond ``m_budget`` drops the
-    tail — callers watch ``num_valid/m_budget`` and retune. Counterpart of
-    the CUDA bump-allocator compaction (raymarching.cu:405-416) for the
-    two-level march.
+    Source selection for an arbitrary mask is ONE flat sort of int32 position
+    keys (invalid slots pushed past the end), the same trick as
+    :func:`first_k_valid` — NOT the cumsum+searchsorted binary search: ~20
+    search iterations x m_budget serialized gather rows cost more than the
+    dense layout they were meant to replace (measured: global slots=12 at
+    258 ms vs dense B=20 at 228 ms, scripts/bench_compaction_ab.py).
+
+    ``prefix_mask=True`` declares that each ray's valid slots are a PREFIX of
+    its row (``mask[n, :k_n]`` all True, rest False) — guaranteed by
+    :func:`first_k_valid`'s sorted selection, i.e. by every hierarchical-march
+    caller. Then the flat sort (28 ms/M keys, PERF.md) is unnecessary: the
+    destination->source map is recovered from one N-row boundary scatter-add
+    plus a cumsum over the buffer (segment ids) and one N-table take of the
+    ray offsets — O(N + m_budget) vector work instead of an O(N*B log) sort.
+    Output is identical to the sort path (tested).
+
+    Overflow beyond ``m_budget`` drops the tail — callers watch
+    ``num_valid/m_budget`` and retune. Counterpart of the CUDA bump-allocator
+    compaction (raymarching.cu:405-416) for the two-level march.
     """
     N, B = t.shape
-    valid_flat = mask.reshape(-1)
-    total = valid_flat.sum().astype(jnp.int32)
-    pos = jnp.arange(N * B, dtype=jnp.int32)
-    key = jnp.where(valid_flat, pos, pos + N * B)
-    src = jax.lax.sort(key)[:m_budget]
-    slot_valid = src < N * B
-    src = jnp.where(slot_valid, src, N * B - 1)
+    if prefix_mask:
+        counts_pref = mask.astype(jnp.int32).sum(axis=1)
+        cum = jnp.cumsum(counts_pref)
+        total = cum[-1]
+        offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+        # segment boundaries: ray n (n>=1) starts at slot cum[n-1]; empty
+        # rays collapse onto the same start and the adds accumulate, so the
+        # cumsum skips them. Starts beyond the buffer are dropped (those
+        # rays' samples overflow and their slots are masked below anyway).
+        seg = jnp.zeros((m_budget,), jnp.int32).at[cum[:-1]].add(
+            1, mode="drop")
+        n_of = jnp.cumsum(seg)                                # ray id / slot
+        i_of = jnp.arange(m_budget, dtype=jnp.int32)
+        j_of = i_of - jnp.take(offs, n_of)                    # rank in ray
+        slot_valid = i_of < jnp.minimum(total, m_budget)
+        src = jnp.where(slot_valid, n_of * B + j_of, N * B - 1)
+    else:
+        valid_flat = mask.reshape(-1)
+        total = valid_flat.sum().astype(jnp.int32)
+        pos = jnp.arange(N * B, dtype=jnp.int32)
+        key = jnp.where(valid_flat, pos, pos + N * B)
+        src = jax.lax.sort(key)[:m_budget]
+        slot_valid = src < N * B
+        src = jnp.where(slot_valid, src, N * B - 1)
 
     # ONE fused gather: broadcast the per-ray [o | d | t0] rows across the B
     # slots and take [o | d | t0 | t | dt] 9-wide rows in a single pass —

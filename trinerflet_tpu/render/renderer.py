@@ -606,6 +606,9 @@ def render_occgrid(
             comp = RM.compact_global_dense(
                 rays_o, rays_d, t, dt, mask, t0,
                 m_budget=N * cfg.global_slots_per_ray, bound=cfg.bound,
+                # first_k_valid packs each ray's kept samples into the row
+                # prefix, so the sort-free boundary-scatter source map applies
+                prefix_mask=True,
             )
             sigmas, rgbs = field_fn(comp.xyzs, comp.dirs)
             ws, depth_raw, image, z_var = RM.composite_compact(

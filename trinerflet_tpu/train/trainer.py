@@ -407,8 +407,15 @@ class Trainer:
                 self._build_jits()
             elif cfg.compaction == "per_ray" and self._global_retunes == 0:
                 mean = float(aux["num_samples"]) / self.cfg.num_rays
-                slots = max(4, int(_m.ceil(mean * 3.0 / 2) * 2))
-                if slots <= B // 2:
+                # 1.5x-mean buffer (was 3x): with the sort-free prefix-mask
+                # source map the layout's fixed cost is ~O(N) vector work, so
+                # it pays whenever the buffer undercuts the dense N*B volume
+                # by ~20%; the fill>0.85 watchdog above doubles the buffer if
+                # the live mean drifts up between retunes (overflow only ever
+                # drops the tail samples of the LAST rays, transiently, and
+                # the loss curve is monitored by the bench/quality gates).
+                slots = max(4, int(_m.ceil(mean * 1.5 / 2) * 2))
+                if slots <= int(B * 0.8):
                     self.render_cfg = dataclasses.replace(
                         cfg, compaction="global", global_slots_per_ray=slots)
                     self._global_retunes += 1
