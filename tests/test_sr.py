@@ -329,3 +329,60 @@ class TestSRMarchRetune:
         assert tuned > 0 and tuned < worst
         np.testing.assert_allclose(np.asarray(before), np.asarray(after),
                                    atol=2e-3)
+
+
+class TestRefreshRenderBudget:
+    """The pseudo-GT cache refresh renders at the TRAIN-time budget
+    (``render_view(deep=False)``): the reference refreshes its HR cache
+    through the train renderer (render_high_res settings), and the deep
+    test-time budget would multiply the whole HR phase's cost by ~4x
+    (refresh fires ~V/refresh_every times per step)."""
+
+    def _system(self):
+        nerf_cfg = NeRFConfig(
+            triplane=TriplaneConfig(channels=8, resolution=64, wavelet_scale=4,
+                                    low_res_scale=4),
+            bound=1.0, hidden_dim=32, hidden_dim_color=32,
+        )
+        render_cfg = RenderConfig(bound=1.0, grid_size=32, density_thresh=0.01,
+                                  max_steps=256, samples_per_ray_budget=16)
+        cfg = SRConfig(total_steps=10, sr_start_step=10**9, num_rays_lr=256,
+                       eval_chunk=512)
+        return SRSystem(nerf_cfg, render_cfg, cfg,
+                        make_resize_guidance(GuidanceConfig(), scale=4))
+
+    def test_shallow_render_matches_deep_closely(self):
+        sys_ = self._system()
+        state = sys_.init_state(jax.random.PRNGKey(0))
+        state = sys_._update_grid(state)
+        H = W = 24
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -2.0
+        intr = (0.9 * W, 0.9 * W, W / 2.0, H / 2.0)
+        deep = sys_.render_view(state.params, state.occ, pose, intr, H, W,
+                                deep=True)
+        shallow = sys_.render_view(state.params, state.occ, pose, intr, H, W,
+                                   deep=False)
+        assert deep.shape == shallow.shape == (H, W, 3)
+        assert np.isfinite(shallow).all()
+        # same field, same march: shallow budget must track the deep image
+        assert float(np.abs(deep - shallow).mean()) < 5e-2
+
+    def test_fit_refresh_uses_train_budget(self, monkeypatch):
+        """fit()'s refresh must call render_view with deep=False."""
+        scene = make_synthetic_sr_scene(num_views=2, lr_size=16, scale=4)
+        sys_ = self._system()
+        sys_.cfg = SRConfig(total_steps=3, sr_start_step=0, num_rays_lr=256,
+                            hr_fit_refresh_every=1, crop_size_lr=8,
+                            eval_chunk=512)
+        seen = []
+        orig = sys_.render_view
+
+        def spy(*a, **kw):
+            seen.append(kw.get("deep", True))
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(sys_, "render_view", spy)
+        state = sys_.init_state(jax.random.PRNGKey(0))
+        sys_.fit(state, scene, log_every=0)
+        assert seen and not any(seen)

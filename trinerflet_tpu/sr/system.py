@@ -134,6 +134,8 @@ class SRSystem:
         self._hr_step = jax.jit(self._hr_step_impl, donate_argnums=(0,))
         self._update_grid = jax.jit(self._update_grid_impl, donate_argnums=(0,))
         self._render_chunk = jax.jit(self._render_chunk_impl, static_argnames=("mode",))
+        self._render_chunk_fit = jax.jit(self._render_chunk_fit_impl,
+                                         static_argnames=("mode",))
 
     def _maybe_retune_march(self, state: "SRState"):
         """Shrink the static coarse-segment span to the live occupied-bbox
@@ -332,26 +334,39 @@ class SRSystem:
     def _render_chunk_impl(self, params, occ, rays_o, rays_d, mode: str = "full"):
         return self._render(params, occ, rays_o, rays_d, mode, train=False)
 
+    def _render_chunk_fit_impl(self, params, occ, rays_o, rays_d, mode: str = "full"):
+        # train-budget render (no perturb/rng): the pseudo-GT cache refresh
+        # path — the reference refreshes its HR cache through the TRAIN-time
+        # renderer settings (render_high_res, triplane_wavelet_sr.py:797-829),
+        # not the deep test-time budget, and the refresh fires ~V/refresh_every
+        # times per step so the deep budget would cost ~4x the whole HR phase.
+        return self._render(params, occ, rays_o, rays_d, mode, train=True)
+
     def render_view(self, params, occ, pose, intrinsics, H, W, mode="full",
-                    rays=None):
+                    rays=None, deep=True):
         """Full-frame chunked render; ``rays=(rays_o, rays_d)`` overrides the
-        pinhole camera (LLFF/NDC precomputed grids)."""
+        pinhole camera (LLFF/NDC precomputed grids). ``deep=False`` renders at
+        the train-time budget (cache refreshes); ``deep=True`` is the test-time
+        deep-sampling path (evaluation). Chunk results are materialized after
+        the dispatch loop so transfers overlap compute (remote-TPU RTT)."""
         if rays is not None:
             rays_o = np.asarray(rays[0]).reshape(-1, 3)
             rays_d = np.asarray(rays[1]).reshape(-1, 3)
         else:
             rays_o, rays_d = rays_full_image(np.asarray(pose), intrinsics, H, W)
-        chunk = self.eval_chunk
-        imgs = []
+        chunk = self.eval_chunk if deep else max(self.eval_chunk, self.cfg.eval_chunk)
+        render = self._render_chunk if deep else self._render_chunk_fit
+        outs = []
         for s in range(0, H * W, chunk):
             ro, rd = rays_o[s : s + chunk], rays_d[s : s + chunk]
             pad = chunk - len(ro)
             if pad:
                 ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)])
                 rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)])
-            out = self._render_chunk(params, occ, jnp.asarray(ro), jnp.asarray(rd), mode=mode)
-            img = np.asarray(out["image"])
-            imgs.append(img[:-pad] if pad else img)
+            out = render(params, occ, jnp.asarray(ro), jnp.asarray(rd), mode=mode)
+            outs.append((out["image"], pad))
+        imgs = [np.asarray(img)[: len(img) - pad] if pad else np.asarray(img)
+                for img, pad in outs]
         return np.concatenate(imgs).reshape(H, W, 3)
 
     # ----------------------------------------------------------------- train
@@ -418,7 +433,7 @@ class SRSystem:
                 if step - cache_step[v] >= cfg.hr_fit_refresh_every:
                     hr_render = self.render_view(
                         state.params, state.occ, None, hr_intr, Hh, Wh,
-                        mode="high_res", rays=hr_grids[v],
+                        mode="high_res", rays=hr_grids[v], deep=False,
                     )
                     k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), step)
                     pseudo = self.guidance.generate_sr(

@@ -109,7 +109,8 @@ class TextTo3DSystem:
                 poses = sample_orbit_cameras(host_rng, cfg.views_per_refresh)
                 for v in range(cfg.views_per_refresh):
                     render = self.inner.render_view(
-                        state.params, state.occ, poses[v], intr, S, S, mode="full"
+                        state.params, state.occ, poses[v], intr, S, S,
+                        mode="full", deep=False,
                     )
                     k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 3), step + v)
                     lr_proxy = jax.image.resize(
